@@ -1,0 +1,23 @@
+from distantspeech_tpu.stats.psd import update_csd, update_psd, rank1_update
+from distantspeech_tpu.stats.weights import (
+    blind_analytic_normalization,
+    diag_load_inv,
+    mvdr_weights,
+    pmwf_weights,
+    tfgsc_weights,
+)
+from distantspeech_tpu.stats.metrics import array_gain, beampattern, wng_di
+
+__all__ = [
+    "update_psd",
+    "update_csd",
+    "rank1_update",
+    "mvdr_weights",
+    "pmwf_weights",
+    "tfgsc_weights",
+    "diag_load_inv",
+    "blind_analytic_normalization",
+    "array_gain",
+    "beampattern",
+    "wng_di",
+]

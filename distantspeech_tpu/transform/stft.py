@@ -1,0 +1,150 @@
+"""Batched STFT / ISTFT with the reference's exact streaming semantics.
+
+The reference Transform (/root/reference/DistantSpeech/transform/transform.py:407-496)
+is a *streaming* sqrt-Hann analysis/synthesis pair with two quirks this module
+reproduces bit-for-bit:
+
+- synthesis does **not** divide by the window-sum-square envelope; instead it
+  scales the overlap-added signal by ``hop / W0`` with ``W0 = sum(window**2)``
+  (transform.py:479, commented-out normalisation at :375-384);
+- chunked processing carries ``overlap = n_fft - hop`` samples of input
+  (prepended before framing, transform.py:438-451) and of output tail
+  (added into the next chunk's head, transform.py:476-478).
+
+Design: all functions are pure and batched over arbitrary leading axes — the
+frame loop of the reference becomes one rfft over a ``[..., T, n_fft]`` frame
+tensor; the carries are explicit arguments/results so the same code path
+serves offline (zero carry, whole utterance) and streaming (jitted per chunk).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from distantspeech_tpu.ops.framing import frame_signal, overlap_add
+
+
+def sqrt_hann_window(n_fft: int) -> np.ndarray:
+    """Square root of the periodic (DFT-even) Hann window, length n_fft.
+
+    Matches scipy ``get_window('hann', n, fftbins=True)`` followed by sqrt
+    (transform.py:418-419).
+    """
+    k = np.arange(n_fft)
+    hann = 0.5 - 0.5 * np.cos(2.0 * np.pi * k / n_fft)
+    return np.sqrt(hann)
+
+
+@dataclasses.dataclass(frozen=True)
+class StftConfig:
+    """Static analysis/synthesis parameters (hashable: safe as a jit static)."""
+
+    n_fft: int = 256
+    hop: int = 128
+    window_key: str = "sqrt_hann"
+
+    @property
+    def half_bin(self) -> int:
+        return self.n_fft // 2 + 1
+
+    @property
+    def overlap(self) -> int:
+        return self.n_fft - self.hop
+
+    @property
+    def window(self) -> np.ndarray:
+        if self.window_key != "sqrt_hann":
+            raise ValueError(f"unknown window {self.window_key}")
+        return sqrt_hann_window(self.n_fft)
+
+    @property
+    def w0(self) -> float:
+        """Sum of squared window samples (transform.py:428)."""
+        return float(np.sum(self.window**2))
+
+    @property
+    def synthesis_gain(self) -> float:
+        """hop / W0 output scale of the reference synthesis (transform.py:479)."""
+        return self.hop / self.w0
+
+
+def stft_frames(x: jnp.ndarray, cfg: StftConfig) -> jnp.ndarray:
+    """Left-aligned STFT of ``x`` with no implicit padding.
+
+    x: [..., samples] -> [..., T, half_bin] with T = 1 + (samples - n_fft)//hop.
+    """
+    frames = frame_signal(x, cfg.n_fft, cfg.hop)
+    win = jnp.asarray(cfg.window, dtype=frames.dtype)
+    return jnp.fft.rfft(frames * win, axis=-1)
+
+
+def istft_frames(Y: jnp.ndarray, cfg: StftConfig) -> jnp.ndarray:
+    """Windowed inverse frames + overlap-add, **unnormalised**.
+
+    Y: [..., T, half_bin] -> [..., n_fft + hop*(T-1)].
+    """
+    frames = jnp.fft.irfft(Y, n=cfg.n_fft, axis=-1)
+    win = jnp.asarray(cfg.window, dtype=frames.dtype)
+    return overlap_add(frames * win, cfg.hop)
+
+
+def analysis(x: jnp.ndarray, cfg: StftConfig) -> jnp.ndarray:
+    """Offline analysis of a whole signal, fresh-stream semantics.
+
+    Equivalent to the reference ``Transform.stft`` called once on the full
+    signal from its initial zero ``previous_input`` state: ``overlap`` zeros
+    are prepended so x of length ``hop * T`` yields exactly T frames.
+
+    x: [..., hop * T] -> [..., T, half_bin].
+    """
+    pad = [(0, 0)] * (x.ndim - 1) + [(cfg.overlap, 0)]
+    return stft_frames(jnp.pad(x, pad), cfg)
+
+
+def synthesis(Y: jnp.ndarray, cfg: StftConfig) -> jnp.ndarray:
+    """Offline synthesis, fresh-stream semantics (inverse of ``analysis``).
+
+    Matches ``Transform.istft`` from the zero ``previous_output`` state: the
+    overlap-added signal is truncated to ``hop * T`` samples and scaled by
+    ``hop / W0``.
+
+    Y: [..., T, half_bin] -> [..., hop * T].
+    """
+    n_frames = Y.shape[-2]
+    y = istft_frames(Y, cfg)
+    return y[..., : cfg.hop * n_frames] * jnp.asarray(cfg.synthesis_gain, y.dtype)
+
+
+def stft_stream(
+    carry: jnp.ndarray, chunk: jnp.ndarray, cfg: StftConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One streaming analysis step.
+
+    carry: [..., overlap] previous input tail; chunk: [..., hop * J].
+    Returns (new_carry, Y [..., J, half_bin]).
+    """
+    x = jnp.concatenate([carry, chunk], axis=-1)
+    return x[..., -cfg.overlap :], stft_frames(x, cfg)
+
+
+def istft_stream(
+    carry: jnp.ndarray, Y: jnp.ndarray, cfg: StftConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One streaming synthesis step.
+
+    carry: [..., overlap] previous output tail; Y: [..., J, half_bin].
+    Returns (new_carry, y [..., hop * J]).
+    """
+    y = istft_frames(Y, cfg)
+    y = y.at[..., : cfg.overlap].add(carry)
+    new_carry = y[..., -cfg.overlap :]
+    out = y[..., : -cfg.overlap] * jnp.asarray(cfg.synthesis_gain, y.dtype)
+    return new_carry, out
+
+
+def stft_init_carry(batch_shape, cfg: StftConfig, dtype=jnp.float32) -> jnp.ndarray:
+    return jnp.zeros((*batch_shape, cfg.overlap), dtype=dtype)

@@ -1,0 +1,176 @@
+"""Import harness for the golden reference at /root/reference.
+
+The reference depends on librosa / numba / sounddevice / pyroomacoustics,
+which are not installed; only a handful of trivial utilities are actually
+exercised by the code paths we use as parity oracles.  This module installs
+minimal stand-ins into sys.modules and puts the reference on sys.path so
+tests can run the original NumPy implementations as golden oracles.
+"""
+
+from __future__ import annotations
+
+import functools
+import importlib
+import sys
+import types
+
+import numpy as np
+import scipy.signal
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def _make_librosa_stub() -> types.ModuleType:
+    librosa = types.ModuleType("librosa")
+    util = types.ModuleType("librosa.util")
+    filters = types.ModuleType("librosa.filters")
+    display = types.ModuleType("librosa.display")
+
+    util.MAX_MEM_BLOCK = 2**8 * 2**10
+
+    def frame(x, frame_length, hop_length):
+        x = np.asarray(x)
+        n_frames = 1 + (x.shape[0] - frame_length) // hop_length
+        idx = np.arange(frame_length)[:, None] + hop_length * np.arange(n_frames)[None, :]
+        return x[idx]
+
+    def pad_center(data, size, **kwargs):
+        data = np.asarray(data)
+        n = data.shape[0]
+        lpad = int((size - n) // 2)
+        return np.pad(data, (lpad, int(size - n - lpad)), **kwargs)
+
+    def valid_audio(y, mono=True):
+        return True
+
+    def fix_length(data, size):
+        n = data.shape[0]
+        if n > size:
+            return data[:size]
+        if n < size:
+            return np.pad(data, (0, size - n))
+        return data
+
+    def tiny(x):
+        return np.finfo(np.asarray(x).dtype).tiny
+
+    util.frame = frame
+    util.pad_center = pad_center
+    util.valid_audio = valid_audio
+    util.fix_length = fix_length
+    util.tiny = tiny
+
+    def get_window(window, Nx, fftbins=True):
+        return scipy.signal.get_window(window, Nx, fftbins=fftbins)
+
+    filters.get_window = get_window
+
+    librosa.util = util
+    librosa.filters = filters
+    librosa.display = display
+    librosa.power_to_db = lambda S, **kw: 10.0 * np.log10(np.maximum(S, 1e-10))
+    librosa.amplitude_to_db = lambda S, **kw: 20.0 * np.log10(np.maximum(S, 1e-10))
+
+    sys.modules["librosa"] = librosa
+    sys.modules["librosa.util"] = util
+    sys.modules["librosa.filters"] = filters
+    sys.modules["librosa.display"] = display
+    return librosa
+
+
+def _make_numba_stub() -> types.ModuleType:
+    numba = types.ModuleType("numba")
+
+    def jit(*args, **kwargs):
+        if args and callable(args[0]):
+            return args[0]
+
+        def wrap(fn):
+            return fn
+
+        return wrap
+
+    numba.jit = jit
+    numba.njit = jit
+    sys.modules["numba"] = numba
+    return numba
+
+
+def _make_pra_stub() -> types.ModuleType:
+    pra = types.ModuleType("pyroomacoustics")
+
+    class _Room:
+        def __init__(self, *a, **kw):
+            self.mic_array = None
+
+        @classmethod
+        def from_corners(cls, *a, **kw):
+            return cls()
+
+        def extrude(self, *a, **kw):
+            pass
+
+        def set_ray_tracing(self, *a, **kw):
+            pass
+
+        def add_microphone(self, *a, **kw):
+            pass
+
+        def add_source(self, *a, **kw):
+            pass
+
+    pra.Room = _Room
+    pra.AnechoicRoom = _Room
+    pra.Material = lambda *a, **kw: None
+    pra.ShoeBox = _Room
+    sys.modules["pyroomacoustics"] = pra
+    return pra
+
+
+@functools.lru_cache(maxsize=None)
+def _install():
+    if "librosa" not in sys.modules:
+        _make_librosa_stub()
+    if "numba" not in sys.modules:
+        _make_numba_stub()
+    if "pyroomacoustics" not in sys.modules:
+        _make_pra_stub()
+    for name in ("sounddevice", "pyaudio", "webrtcvad", "gpuRIR", "soundfile", "imp", "pesq", "pystoi"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["pesq"].pesq = lambda *a, **kw: 0.0
+    sys.modules["pystoi"].stoi = lambda *a, **kw: 0.0
+    pystoi_stoi = types.ModuleType("pystoi.stoi")
+    pystoi_stoi.stoi = lambda *a, **kw: 0.0
+    sys.modules["pystoi.stoi"] = pystoi_stoi
+    sys.modules["pystoi"].stoi = pystoi_stoi
+    sys.modules["imp"].load_source = lambda *a, **kw: None
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    # NumPy 2.x compat for the reference (np.mat removed in NumPy 2.0)
+    if not hasattr(np, "mat"):
+        np.mat = np.asmatrix
+
+
+def load(module: str):
+    """Import a module from the reference package, e.g. ``load('DistantSpeech.transform.transform')``."""
+    _install()
+    return importlib.import_module(module)
+
+
+@functools.lru_cache(maxsize=None)
+def patch_beamformer_base():
+    """Compat shim: FixedBeamformer/adaptivebeamfomer at reference HEAD pass
+    c=/fs=/r= kwargs their base beamformer.__init__ no longer accepts
+    (beamformer.py:223-229 takes only mic/frame_len/hop/nfft and reads c, fs
+    from the mic object) — the subclasses are bit-rotted and raise TypeError.
+    Swallow the stale kwargs so the (otherwise intact) reference pipelines can
+    run as parity oracles."""
+    bf_mod = load("DistantSpeech.beamformer.beamformer")
+    orig = bf_mod.beamformer.__init__
+
+    def patched(self, mic, frame_len=256, hop=None, nfft=None, *args, **kwargs):
+        orig(self, mic, frame_len=frame_len, hop=hop, nfft=nfft)
+
+    bf_mod.beamformer.__init__ = patched
+    return bf_mod
