@@ -1,0 +1,119 @@
+"""Online adaptive MVDR beamformer with MCRA-gated noise-covariance updates.
+
+Oracle: adaptivebeamfomer.process with method='MVDR'
+(/root/reference/DistantSpeech/beamformer/adaptivebeamformer.py:44-128).
+The reference runs a Python ``frames x bins`` double loop doing one M x M
+inverse per (frame, bin); here one frame is a single vectorised step over all
+bins (and any utterance batch), scanned over the frame axis:
+
+- Ryy rank-1 recursion for every bin at once (adaptivebeamformer.py:86-88);
+- the MCRA VAD gate ``p[k] < 0.4`` becomes a per-bin mask selecting between
+  the updated and held noise covariance / inverse (adaptivebeamformer.py:94-104);
+- the diagonal-loaded inverse is a batched ``jnp.linalg.inv`` over
+  ``[F, M, M]`` (computed for all bins, masked into the carry — cheaper on
+  TPU than data-dependent gathering of "bins to update");
+- MVDR weights w = R^-1 a / (a^H R^-1 a) for all bins in one einsum.
+
+Like the reference, covariances start at zero and the first frame's MCRA
+p == p_min < 0.4 updates every bin, so no NaN weights ever reach the output.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from distantspeech_tpu.array.geometry import ArrayGeometry
+from distantspeech_tpu.array.steering import steering_vector
+from distantspeech_tpu.noise.mcra import McraConfig, McraState, mcra_init, mcra_step
+from distantspeech_tpu.stats.psd import rank1_update
+from distantspeech_tpu.stats.weights import mvdr_weights
+from distantspeech_tpu.transform import StftConfig, analysis, synthesis
+
+
+@dataclasses.dataclass(frozen=True)
+class MvdrConfig:
+    stft: StftConfig = StftConfig(256, 128)
+    alpha_y: float = 0.8  # Ryy smoothing (adaptivebeamformer.py:65)
+    alpha_v: float = 0.9998  # Rvv smoothing (adaptivebeamformer.py:66)
+    p_vad: float = 0.4  # MCRA gate (adaptivebeamformer.py:94)
+    diag: float = 1e-6  # diagonal loading (adaptivebeamformer.py:89)
+
+    @property
+    def mcra(self) -> McraConfig:
+        return McraConfig(nfft=self.stft.n_fft)
+
+
+class MvdrState(NamedTuple):
+    Ryy: jnp.ndarray  # [..., F, M, M]
+    Rvv: jnp.ndarray  # [..., F, M, M]
+    Rvv_inv: jnp.ndarray  # [..., F, M, M]
+    mcra: McraState
+
+
+def mvdr_init(cfg: MvdrConfig, n_mics: int, batch_shape=(), cdtype=jnp.complex64) -> MvdrState:
+    F = cfg.stft.half_bin
+    z = jnp.zeros((*batch_shape, F, n_mics, n_mics), dtype=cdtype)
+    rdtype = jnp.zeros(0, dtype=cdtype).real.dtype
+    return MvdrState(Ryy=z, Rvv=z, Rvv_inv=z, mcra=mcra_init(cfg.mcra, batch_shape, dtype=rdtype))
+
+
+def mvdr_step(
+    cfg: MvdrConfig, steer: jnp.ndarray, state: MvdrState, Z: jnp.ndarray
+) -> Tuple[MvdrState, jnp.ndarray]:
+    """One frame of adaptive MVDR.
+
+    steer: [F, M] steering vector; Z: [..., F, M] multichannel frame.
+    Returns (new_state, Yf [..., F]).
+    """
+    power = jnp.real(Z[..., 0] * jnp.conj(Z[..., 0]))
+    mcra_state, (_, p) = mcra_step(cfg.mcra, state.mcra, power)
+
+    Ryy = rank1_update(state.Ryy, Z, cfg.alpha_y)
+
+    update = p < cfg.p_vad  # [..., F]
+    Rvv_cand = rank1_update(state.Rvv, Z, cfg.alpha_v)
+    eye = jnp.eye(Z.shape[-1], dtype=Z.dtype)
+    inv_cand = jnp.linalg.inv(Rvv_cand + cfg.diag * eye)
+    gate = update[..., None, None]
+    Rvv = jnp.where(gate, Rvv_cand, state.Rvv)
+    Rvv_inv = jnp.where(gate, inv_cand, state.Rvv_inv)
+
+    w = mvdr_weights(steer.astype(Z.dtype), Rvv_inv)  # [..., F, M]
+    Yf = jnp.einsum("...fm,...fm->...f", jnp.conj(w), Z)
+    return MvdrState(Ryy=Ryy, Rvv=Rvv, Rvv_inv=Rvv_inv, mcra=mcra_state), Yf
+
+
+def mvdr_scan(cfg: MvdrConfig, steer: jnp.ndarray, state: MvdrState, X: jnp.ndarray):
+    """Scan the MVDR step over the frame axis.
+
+    X: [T, ..., F, M] time-major spectrogram.
+    Returns (final_state, Y [T, ..., F]).
+    """
+    return jax.lax.scan(lambda s, z: mvdr_step(cfg, steer, s, z), state, X)
+
+
+def mvdr_process(
+    x: jnp.ndarray,
+    geometry: ArrayGeometry,
+    look_angle_deg=(0.0, 0.0),
+    cfg: MvdrConfig = MvdrConfig(),
+) -> jnp.ndarray:
+    """Offline adaptive MVDR of a time-domain batch.
+
+    x: [..., C, S] multichannel time signal.
+    Returns [..., S] enhanced signal.
+    """
+    angle_rad = np.asarray(look_angle_deg, dtype=np.float64) / 180.0 * np.pi
+    steer = jnp.asarray(steering_vector(geometry, angle_rad, cfg.stft.n_fft))
+
+    X = analysis(x, cfg.stft)  # [..., C, T, F]
+    Xt = jnp.moveaxis(jnp.moveaxis(X, -3, -1), -3, 0)  # [T, ..., F, C]
+    state = mvdr_init(cfg, geometry.n_mics, batch_shape=Xt.shape[1:-2], cdtype=Xt.dtype)
+    _, Y = mvdr_scan(cfg, steer, state, Xt)  # [T, ..., F]
+    Y = jnp.moveaxis(Y, 0, -2)  # [..., T, F]
+    return synthesis(Y, cfg.stft)

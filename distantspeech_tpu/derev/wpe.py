@@ -1,0 +1,121 @@
+"""Adaptive multichannel RLS-WPE dereverberation in the subband domain.
+
+Oracle: Wpe.update (/root/reference/DistantSpeech/dereverberation/awpe.py:129-196)
+— the variance-normalised RLS recursion over a D-frame-delayed [bin, C*N]
+regressor, per-channel prediction-filter update, dereverberated output =
+prediction error.  (The reference class is bit-rotted at HEAD — its
+``check_input_data`` helper no longer exists — so the recursion itself,
+which is intact and fully bin-vectorised, is the oracle; tests validate the
+semantics functionally and against a NumPy transliteration of that
+recursion.)
+
+Structure per frame:
+    X  = [taps of the D-frame-delayed spectra]   [..., F, C*N]
+    e  = d - W^H X                                (late reverb removed)
+    s2 = 0.98 s2 + 0.02 |d|^2/C                   (PSD normaliser, :161-163)
+    kn = P X / (lambda * s2 + X^H P X)            (:172-178)
+    P <- (P - kn (X^H P)) / lambda                (:181-183)
+    W <- W + e* kn  per channel                   (:186-187)
+
+The [..., F, CN, CN] P-recursion is the dominant cost and is a batched
+rank-1 matmul — MXU work when CN is large, fused VPU work when small.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from distantspeech_tpu.transform.subband import SubbandConfig, subband_analysis, subband_synthesis
+
+
+@dataclasses.dataclass(frozen=True)
+class WpeConfig:
+    num_bands: int = 512
+    hop: int = 128
+    n_channels: int = 2
+    filter_len: int = 2  # taps per bin per channel
+    delay: int = 4  # prediction delay in frames (awpe.py:74)
+    forgetting_factor: float = 0.998
+    alpha_var: float = 0.98
+    p_init: float = 1e-3  # P starts SMALL in the reference (awpe.py:68-72)
+
+    @property
+    def half_bin(self) -> int:
+        return self.num_bands // 2 + 1
+
+    @property
+    def subband(self) -> SubbandConfig:
+        return SubbandConfig(n_fft=self.num_bands, hop=self.hop)
+
+
+class WpeState(NamedTuple):
+    W: jnp.ndarray  # prediction filters [..., F, C, C*N]
+    buf: jnp.ndarray  # delayed-regressor taps [..., F, C, N]
+    P: jnp.ndarray  # inverse correlation [..., F, C*N, C*N]
+    var: jnp.ndarray  # PSD normaliser [..., F]
+
+
+def wpe_init(cfg: WpeConfig, batch_shape=(), cdtype=jnp.complex64) -> WpeState:
+    F, C, N = cfg.half_bin, cfg.n_channels, cfg.filter_len
+    rdtype = jnp.zeros(0, dtype=cdtype).real.dtype
+    return WpeState(
+        W=jnp.zeros((*batch_shape, F, C, C * N), dtype=cdtype),
+        buf=jnp.zeros((*batch_shape, F, C, N), dtype=cdtype),
+        P=jnp.broadcast_to(jnp.eye(C * N, dtype=cdtype) * cfg.p_init, (*batch_shape, F, C * N, C * N)),
+        var=jnp.zeros((*batch_shape, F), dtype=rdtype),
+    )
+
+
+def wpe_step(
+    cfg: WpeConfig, state: WpeState, d: jnp.ndarray, x_delayed: jnp.ndarray
+) -> Tuple[WpeState, jnp.ndarray]:
+    """One frame.  d: [..., F, C] current spectra; x_delayed: [..., F, C]
+    spectra delayed by ``cfg.delay`` frames.  Returns (state, e [..., F, C])."""
+    lam = cfg.forgetting_factor
+    C, N = cfg.n_channels, cfg.filter_len
+
+    buf = jnp.concatenate([x_delayed[..., None], state.buf[..., :-1]], axis=-1)  # [..., F, C, N]
+    X = buf.reshape(*buf.shape[:-2], C * N)  # [..., F, C*N]
+
+    y = jnp.einsum("...fmi,...fi->...fm", jnp.conj(state.W), X)
+    e = d - y
+
+    var_n = jnp.abs(jnp.einsum("...fc,...fc->...f", jnp.conj(d), d)) / C
+    var = cfg.alpha_var * state.var + (1.0 - cfg.alpha_var) * var_n
+
+    num = jnp.einsum("...fij,...fj->...fi", state.P, X)  # P X
+    den = lam * var.astype(num.dtype) + jnp.einsum("...fi,...fi->...f", jnp.conj(X), num)
+    kn = num / den[..., None]
+    XhP = jnp.einsum("...fl,...flk->...fk", jnp.conj(X), state.P)
+    P = (state.P - kn[..., :, None] * XhP[..., None, :]) / lam
+
+    W = state.W + jnp.conj(e)[..., :, None] * kn[..., None, :]
+    return WpeState(W=W, buf=buf, P=P, var=var), e
+
+
+def wpe_run(cfg: WpeConfig, D_tf: jnp.ndarray) -> jnp.ndarray:
+    """Scan WPE over a subband spectrogram.
+
+    D_tf: [T, ..., F, C] time-major spectra.  Returns e: [T, ..., F, C].
+    """
+    delayed = jnp.concatenate([jnp.zeros_like(D_tf[: cfg.delay]), D_tf[: -cfg.delay]], axis=0)
+    state = wpe_init(cfg, batch_shape=D_tf.shape[1:-2], cdtype=D_tf.dtype)
+    _, e = jax.lax.scan(lambda s, dd: wpe_step(cfg, s, dd[0], dd[1]), state, (D_tf, delayed))
+    return e
+
+
+def wpe_process(x: jnp.ndarray, cfg: WpeConfig) -> jnp.ndarray:
+    """Offline dereverberation of a time-domain batch.
+
+    x: [..., C, S] multichannel time signal -> [..., S] dereverberated
+    reference channel (subband round-trip like the reference driver).
+    """
+    Y = subband_analysis(x, cfg.subband)  # [..., C, T, F]
+    D_tf = jnp.moveaxis(jnp.moveaxis(Y, -3, -1), -3, 0)  # [T, ..., F, C]
+    e = wpe_run(cfg, D_tf)  # [T, ..., F, C]
+    e0 = jnp.moveaxis(e[..., 0], 0, -2)  # [..., T, F]
+    return subband_synthesis(e0, cfg.subband)

@@ -7,6 +7,20 @@ from distantspeech_tpu.transform.stft import (
     stft_stream,
     synthesis,
 )
+from distantspeech_tpu.transform.filterbank_design import (
+    design_analysis_prototype,
+    design_synthesis_prototype,
+    nyquist_prototypes,
+)
+from distantspeech_tpu.transform.subband import (
+    SubbandConfig,
+    subband_analysis,
+    subband_analysis_frames,
+    subband_analysis_stream,
+    subband_synthesis,
+    subband_synthesis_init,
+    subband_synthesis_step,
+)
 
 __all__ = [
     "StftConfig",
@@ -16,4 +30,14 @@ __all__ = [
     "synthesis",
     "stft_stream",
     "istft_stream",
+    "SubbandConfig",
+    "subband_analysis",
+    "subband_analysis_frames",
+    "subband_analysis_stream",
+    "subband_synthesis",
+    "subband_synthesis_init",
+    "subband_synthesis_step",
+    "design_analysis_prototype",
+    "design_synthesis_prototype",
+    "nyquist_prototypes",
 ]

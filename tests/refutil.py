@@ -147,9 +147,16 @@ def _install():
     sys.modules["imp"].load_source = lambda *a, **kw: None
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
-    # NumPy 2.x compat for the reference (np.mat removed in NumPy 2.0)
+    # NumPy 2.x compat for the reference (np.mat / np.float_ / np.float
+    # removed in NumPy 2.0 / 1.24)
     if not hasattr(np, "mat"):
         np.mat = np.asmatrix
+    if not hasattr(np, "float_"):
+        np.float_ = np.float64
+    if not hasattr(np, "float"):
+        np.float = float
+    if not hasattr(np, "complex"):
+        np.complex = complex
 
 
 def load(module: str):
