@@ -21,3 +21,15 @@ from distantspeech_tpu.adaptive.nlms import (
     rls_init,
     rls_step,
 )
+from distantspeech_tpu.adaptive.aec import AecConfig, AecState, aec_init, aec_step
+from distantspeech_tpu.adaptive.mdf import MdfConfig, MdfState, mdf_adjust_prop, mdf_init, mdf_step
+from distantspeech_tpu.adaptive.subband import (
+    SubbandAfConfig,
+    SubbandLmsState,
+    SubbandRlsState,
+    subband_lms_init,
+    subband_lms_mc_step,
+    subband_lms_step,
+    subband_rls_init,
+    subband_rls_step,
+)
