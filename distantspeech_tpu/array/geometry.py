@@ -51,9 +51,11 @@ def linear_array(n_mics: int, spacing: float) -> np.ndarray:
 def circular_array(n_mics: int, radius: float) -> np.ndarray:
     """Uniform circular array in the xy plane, mic 0 on the +x axis.
 
-    Matches the reference layout (MicArray.py:61-65).  Returns [M, 3].
+    Matches the reference layout (MicArray.py:61-65) including its integer
+    degree step ``arange(0, 360, int(360/M))`` — for M not dividing 360 the
+    mics are *not* exactly uniform, and we reproduce that.  Returns [M, 3].
     """
-    az = np.arange(n_mics) * (2.0 * np.pi / n_mics)
+    az = (np.arange(0, 360, int(360 / n_mics)) * np.pi / 180.0)[:n_mics]
     x, y, z = sph2cart(az, 0.0, radius)
     return np.stack([x, y, np.broadcast_to(z, x.shape)], axis=-1)
 

@@ -1,0 +1,106 @@
+"""Frequency-domain recursive GSC with MC-MCRA-gated NLMS canceller.
+
+Oracle: GSC.process with method=2
+(/root/reference/DistantSpeech/beamformer/GSC.py:174-287): steering-based
+fixed beamformer W = a/(a^H a), pairwise steering blocking matrix
+U_i = a_0* Z_0 - a_{i+1}* Z_{i+1}, per-bin NLMS interference canceller G
+gated by (1 - p_spp), multiplicative MC-MCRA OM-LSA postfilter gain.
+
+The reference also advances an MCRA tracker and an OMLSA-multi estimator
+whose outputs never reach the output path (GSC.py:242, :281-284) — they are
+omitted here (zero output difference, less state).
+
+The reference's per-(frame, bin) double loop (GSC.py:224-287) collapses to
+one [F]-vectorised step scanned over frames.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from distantspeech_tpu.array.geometry import ArrayGeometry
+from distantspeech_tpu.array.steering import omega_bins
+from distantspeech_tpu.noise.mc_mcra import McMcraConfig, McMcraState, mc_mcra_init, mc_mcra_step
+from distantspeech_tpu.transform import StftConfig, analysis, synthesis
+
+
+@dataclasses.dataclass(frozen=True)
+class GscConfig:
+    n_mics: int = 4
+    frame_len: int = 256
+    mu: float = 0.01  # canceller stepsize (GSC.py:202)
+
+    @property
+    def stft(self) -> StftConfig:
+        return StftConfig(self.frame_len, self.frame_len // 2)
+
+    @property
+    def half_bin(self) -> int:
+        return self.frame_len // 2 + 1
+
+    @property
+    def mc_mcra(self) -> McMcraConfig:
+        return McMcraConfig(nfft=self.frame_len, n_channels=self.n_mics)
+
+
+def gsc_steering(cfg: GscConfig, geometry: ArrayGeometry, angle_rad) -> np.ndarray:
+    """Propagation vector a [F, M] from the circular-array delay model
+    ``tao = -r cos(el) cos(az - gamma_m) / c`` (GSC.py:194, :221)."""
+    angle = np.asarray(angle_rad, dtype=np.float64)
+    gamma = (np.arange(0, 360, int(360 / cfg.n_mics)) * np.pi / 180.0)[: cfg.n_mics]
+    # the reference reads r as the scalar radius of the (circular) array
+    r = float(np.max(np.linalg.norm(geometry.mic_loc[:, :2], axis=-1)))
+    tao = -1.0 * r * np.cos(angle[1]) * np.cos(angle[0] - gamma) / geometry.c  # [M]
+    omega = omega_bins(cfg.frame_len, geometry.fs)  # [F]
+    return np.exp(-1j * omega[:, None] * tao[None, :])  # [F, M]
+
+
+class GscState(NamedTuple):
+    G: jnp.ndarray  # canceller weights [..., F, M-1]
+    spp: McMcraState
+
+
+def gsc_init(cfg: GscConfig, batch_shape=(), cdtype=jnp.complex64) -> GscState:
+    rdtype = jnp.zeros(0, dtype=cdtype).real.dtype
+    return GscState(
+        G=jnp.zeros((*batch_shape, cfg.half_bin, cfg.n_mics - 1), dtype=cdtype),
+        spp=mc_mcra_init(cfg.mc_mcra, batch_shape, dtype=rdtype),
+    )
+
+
+def gsc_step(
+    cfg: GscConfig, a: jnp.ndarray, state: GscState, Z: jnp.ndarray
+) -> Tuple[GscState, jnp.ndarray]:
+    """One frame.  a: [F, M] propagation vector; Z: [..., F, M] spectra.
+    Returns (state, Y [..., F] postfiltered output)."""
+    spp_state, spp_out = mc_mcra_step(cfg.mc_mcra, state.spp, Z)
+
+    W = a / jnp.sum(jnp.abs(a) ** 2, axis=-1, keepdims=True)  # a/(a^H a)
+    Yfbf = jnp.einsum("fm,...fm->...f", jnp.conj(W), Z)
+    # blocking matrix: U_i = a_0* Z_0 - a_{i+1}* Z_{i+1} (GSC.py:217-222, :262)
+    U = jnp.conj(a[:, :1]) * Z[..., :1] - jnp.conj(a[:, 1:]) * Z[..., 1:]  # [..., F, M-1]
+
+    Y = Yfbf - jnp.einsum("...fi,...fi->...f", jnp.conj(state.G), U)
+    G = state.G + cfg.mu * (1.0 - spp_out.p)[..., None] * U * jnp.conj(Y)[..., None]
+
+    Y_out = Y * spp_out.G  # OM-LSA postfilter gain (GSC.py:286)
+    return GscState(G=G, spp=spp_state), Y_out
+
+
+def gsc_process(
+    x: jnp.ndarray, geometry: ArrayGeometry, angle_rad=(197.0 / 180.0 * np.pi, 0.0),
+    cfg: GscConfig = GscConfig(),
+) -> jnp.ndarray:
+    """Offline GSC of a time-domain batch.  x: [..., M, S] -> [..., S]."""
+    a = jnp.asarray(gsc_steering(cfg, geometry, angle_rad))
+    X = analysis(x, cfg.stft)  # [..., M, T, F]
+    Zt = jnp.moveaxis(jnp.moveaxis(X, -3, -1), -3, 0)  # [T, ..., F, M]
+    state = gsc_init(cfg, batch_shape=Zt.shape[1:-2], cdtype=Zt.dtype)
+    _, Y = jax.lax.scan(lambda s, z: gsc_step(cfg, a.astype(z.dtype), s, z), state, Zt)
+    Y = jnp.moveaxis(Y, 0, -2)  # [..., T, F]
+    return synthesis(Y, cfg.stft)

@@ -1,0 +1,169 @@
+"""Subband GSC: subband-LMS blocking matrix + multichannel subband-LMS AIC.
+
+Oracle: SubbandGSC.process (/root/reference/DistantSpeech/beamformer/
+SubbandGSC.py:170-263).  Per frameLen block: DC notch, fractional-delay
+alignment, McSpp speech presence from the aligned spectra, a per-mic
+subband NLMS blocking matrix estimating the FBF->mic transfer (p-gated), a
+frameLen sample delay on the FBF path, and a [bin, tap, mic] subband NLMS
+interference canceller gated by 1-p.  All subband filters run through the
+same STFT round-trip the reference's SubbandAF time-domain dispatch uses
+(Transform with n_fft = 2*frameLen, hop = frameLen — SubbandAF.py:37-39).
+
+The M per-mic BM filters and their transforms batch over a leading mic axis.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from distantspeech_tpu.adaptive.feature import dc_notch, dc_notch_init
+from distantspeech_tpu.adaptive.subband import (
+    SubbandAfConfig,
+    SubbandLmsState,
+    subband_lms_init,
+    subband_lms_mc_step,
+    subband_lms_step,
+)
+from distantspeech_tpu.array.alignment import time_alignment_filters
+from distantspeech_tpu.array.geometry import ArrayGeometry
+from distantspeech_tpu.noise.mcspp import McSppConfig, McSppState, mcspp_init, mcspp_step
+from distantspeech_tpu.ops.delay import delay_samples
+from distantspeech_tpu.ops.fir import fir_filter_offline
+from distantspeech_tpu.transform import StftConfig
+from distantspeech_tpu.transform.stft import istft_stream, stft_stream
+
+
+@dataclasses.dataclass(frozen=True)
+class SubbandGscConfig:
+    n_mics: int = 4
+    frame_len: int = 256
+
+    @property
+    def stft(self) -> StftConfig:
+        return StftConfig(self.frame_len * 2, self.frame_len)
+
+    @property
+    def half_bin(self) -> int:
+        return self.frame_len + 1
+
+    @property
+    def spp(self) -> McSppConfig:
+        return McSppConfig(nfft=self.frame_len * 2, n_channels=self.n_mics)
+
+    @property
+    def bm(self) -> SubbandAfConfig:
+        # SubbandLMS(filter_len=2, num_bands=2L, mu=0.1) (SubbandGSC.py:97-99)
+        return SubbandAfConfig(num_bands=self.frame_len * 2, filter_len=2, mu=0.1)
+
+    @property
+    def aic(self) -> SubbandAfConfig:
+        # SubbandLmsMc(filter_len=2, num_bands=2L, mu=0.01, alpha=0.8) (:101-107)
+        return SubbandAfConfig(
+            num_bands=self.frame_len * 2, filter_len=2, n_channels=self.n_mics, mu=0.01, alpha=0.8
+        )
+
+
+class SubbandGscState(NamedTuple):
+    stft_al: jnp.ndarray  # aligned-spectra carry [..., M, L]
+    spp: McSppState
+    bm: SubbandLmsState  # leading mic axis
+    stft_bm_x: jnp.ndarray  # BM input (fbf) analysis carry [..., L]
+    stft_bm_d: jnp.ndarray  # BM desired (mics) analysis carries [..., M, L]
+    istft_bm: jnp.ndarray  # BM error synthesis carries [..., M, L]
+    aic: SubbandLmsState
+    stft_aic_x: jnp.ndarray  # AIC input (bm out) carry [..., M, L]
+    stft_aic_d: jnp.ndarray  # AIC desired (delayed fbf) carry [..., L]
+    istft_aic: jnp.ndarray  # AIC error synthesis carry [..., L]
+    delay_fbf: jnp.ndarray  # [..., L]
+
+
+def subband_gsc_init(cfg: SubbandGscConfig, batch_shape=(), dtype=jnp.float32) -> SubbandGscState:
+    L, M = cfg.frame_len, cfg.n_mics
+    cdtype = jnp.result_type(dtype, jnp.complex64)
+    z = lambda *s: jnp.zeros((*batch_shape, *s), dtype=dtype)
+    return SubbandGscState(
+        stft_al=z(M, L),
+        spp=mcspp_init(cfg.spp, batch_shape, cdtype=cdtype),
+        bm=subband_lms_init(cfg.bm, (*batch_shape, M), cdtype=cdtype),
+        stft_bm_x=z(L),
+        stft_bm_d=z(M, L),
+        istft_bm=z(M, L),
+        aic=subband_lms_init(cfg.aic, batch_shape, cdtype=cdtype),
+        stft_aic_x=z(M, L),
+        stft_aic_d=z(L),
+        istft_aic=z(L),
+        delay_fbf=z(L),
+    )
+
+
+def subband_gsc_step(
+    cfg: SubbandGscConfig, Fn: jnp.ndarray, state: SubbandGscState, aligned: jnp.ndarray
+) -> Tuple[SubbandGscState, Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]]:
+    """One frameLen block.  aligned: [..., M, L] time-aligned mics.
+
+    Fn: diffuse pair coherence for the McSpp CDR (cfg.spp.mccdr.fn_pair()).
+    Returns (state, (output [..., L], p [..., F], bm_out [..., M, L]))."""
+    scfg = cfg.stft
+    fbf = jnp.mean(aligned, axis=-2)
+
+    stft_al, D = stft_stream(state.stft_al, aligned, scfg)  # [..., M, 1, F]
+    spp_state, spp_out = mcspp_step(cfg.spp, Fn, state.spp, jnp.moveaxis(D[..., 0, :], -2, -1))
+    p = spp_out.p
+
+    # --- blocking matrix: per-mic SubbandLMS(fbf -> mic), p-gated ----------
+    stft_bm_x, Xf = stft_stream(state.stft_bm_x, fbf, scfg)  # [..., 1, F]
+    stft_bm_d, Df = stft_stream(state.stft_bm_d, aligned, scfg)  # [..., M, 1, F]
+    M = cfg.n_mics
+    x_spec = jnp.broadcast_to(Xf[..., None, 0, :], Df[..., 0, :].shape)  # [..., M, F]
+    bm_state, e_bm = subband_lms_step(
+        cfg.bm, state.bm, x_spec, Df[..., 0, :], p=p[..., None, :]
+    )
+    istft_bm, bm_out = istft_stream(state.istft_bm, e_bm[..., None, :], scfg)  # [..., M, L]
+
+    delay_fbf, fbf_d = delay_samples(state.delay_fbf, fbf)
+
+    # --- AIC: multichannel SubbandLmsMc(bm_out -> delayed fbf), (1-p)-gated
+    stft_aic_x, Uf = stft_stream(state.stft_aic_x, bm_out, scfg)  # [..., M, 1, F]
+    stft_aic_d, Yf = stft_stream(state.stft_aic_d, fbf_d, scfg)  # [..., 1, F]
+    aic_state, e_aic = subband_lms_mc_step(
+        cfg.aic, state.aic, jnp.moveaxis(Uf[..., 0, :], -2, -1), Yf[..., 0, :], p=1.0 - p
+    )
+    istft_aic, out = istft_stream(state.istft_aic, e_aic[..., None, :], scfg)
+
+    new_state = SubbandGscState(
+        stft_al=stft_al, spp=spp_state, bm=bm_state,
+        stft_bm_x=stft_bm_x, stft_bm_d=stft_bm_d, istft_bm=istft_bm,
+        aic=aic_state, stft_aic_x=stft_aic_x, stft_aic_d=stft_aic_d,
+        istft_aic=istft_aic, delay_fbf=delay_fbf,
+    )
+    return new_state, (out, p, bm_out)
+
+
+def subband_gsc_process(
+    x: jnp.ndarray, geometry: ArrayGeometry, angle_rad=(197.0 / 180.0 * np.pi, 0.0),
+    cfg: SubbandGscConfig = SubbandGscConfig(),
+):
+    """Offline SubbandGSC.  x: [..., M, S].
+
+    Returns (output [..., S], p [..., T, F], bm_output [..., M, S'])."""
+    L = cfg.frame_len
+    _, xn = dc_notch(dc_notch_init(x.shape[:-1], dtype=x.dtype), x, radius=0.98)
+    coeffs = jnp.asarray(time_alignment_filters(geometry, angle_rad), dtype=x.dtype)
+    aligned = fir_filter_offline(xn, coeffs)
+
+    T = x.shape[-1] // L
+    ab = jnp.moveaxis(aligned[..., : T * L].reshape(*x.shape[:-1], T, L), -2, 0)
+    Fn = jnp.asarray(cfg.spp.mccdr.fn_pair(), dtype=x.dtype)
+
+    state = subband_gsc_init(cfg, batch_shape=x.shape[:-2], dtype=x.dtype)
+    _, (out, p, bm_out) = jax.lax.scan(
+        lambda s, blk: subband_gsc_step(cfg, Fn, s, blk), state, ab
+    )
+    out = jnp.moveaxis(out, 0, -2).reshape(*x.shape[:-2], T * L)
+    bm_full = jnp.moveaxis(bm_out, 0, -2).reshape(*x.shape[:-2], cfg.n_mics, T * L)
+    return out, jnp.moveaxis(p, 0, -2), bm_full
