@@ -1,0 +1,78 @@
+"""Flagship benchmark: 8-mic adaptive MVDR + OM-LSA postfilter throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Metric is audio-seconds of multichannel input processed per wall-clock
+second on one chip; the reference NumPy implementation runs at ~1x realtime
+on CPU by its own overflow check (realtime_processing.py:126-127), so
+``vs_baseline`` is the same number (target from BASELINE.json: >= 500).
+
+Designed for the axon-tunnel TPU: no device->host data fetches — only
+``block_until_ready`` timing (see .claude/skills/verify/SKILL.md).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from distantspeech_tpu.array.geometry import ArrayGeometry
+    from distantspeech_tpu.array.steering import steering_vector
+    from distantspeech_tpu.beamform.enhance import EnhanceConfig, enhance_init, enhance_scan
+    from distantspeech_tpu.transform import analysis, synthesis
+
+    fs = 16000
+    n_mics = 8
+    batch = 8
+    seconds_per_utt = 4.0
+    S = int(fs * seconds_per_utt) // 128 * 128
+
+    geom = ArrayGeometry.linear(n_mics, 0.032, fs=fs)
+    cfg = EnhanceConfig()
+    angle = np.array([90.0, 0.0]) / 180.0 * np.pi
+    steer = jnp.asarray(steering_vector(geom, angle, cfg.stft.n_fft), dtype=jnp.complex64)
+
+    @jax.jit
+    def forward(x):
+        X = analysis(x, cfg.stft)
+        Zt = jnp.moveaxis(jnp.moveaxis(X, -3, -1), -3, 0)
+        state = enhance_init(cfg, n_mics, batch_shape=Zt.shape[1:-2], cdtype=Zt.dtype)
+        _, Y = enhance_scan(cfg, steer, state, Zt)
+        return synthesis(jnp.moveaxis(Y, 0, -2), cfg.stft)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, n_mics, S)).astype(np.float32))
+
+    # compile + warmup
+    forward(x).block_until_ready()
+    forward(x).block_until_ready()
+
+    iters = 10
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = forward(x)
+    y.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    audio_seconds = batch * seconds_per_utt * iters
+    value = audio_seconds / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "audio_seconds_per_second_8mic_mvdr_omlsa",
+                "value": round(value, 2),
+                "unit": "audio-s/s/chip",
+                "vs_baseline": round(value, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
