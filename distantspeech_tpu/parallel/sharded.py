@@ -65,7 +65,7 @@ def make_sharded_enhance(
     Returns f(x [B, M, S]) -> [B, S] with B divisible by the dp axis.
     """
     angle_rad = np.asarray(look_angle_deg, dtype=np.float64) / 180.0 * np.pi
-    steer = jnp.asarray(steering_vector(geometry, angle_rad, cfg.stft.n_fft), dtype=jnp.complex64)
+    steer = np.asarray(steering_vector(geometry, angle_rad, cfg.stft.n_fft), dtype=np.complex64)
     in_sharding = NamedSharding(mesh, P("dp", None, None))
 
     @jax.jit
