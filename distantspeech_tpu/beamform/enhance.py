@@ -71,9 +71,13 @@ def enhance_step(
     return EnhanceState(mvdr=mvdr_state, G_H1=G_H1, gamma=gamma), Yf * G
 
 
-def enhance_scan(cfg: EnhanceConfig, steer: jnp.ndarray, state: EnhanceState, Zt: jnp.ndarray):
-    """Scan over the frame axis.  Zt: [T, ..., F, M]."""
-    return jax.lax.scan(lambda s, z: enhance_step(cfg, steer, s, z), state, Zt)
+def enhance_scan(cfg: EnhanceConfig, steer: jnp.ndarray, state: EnhanceState, Zt: jnp.ndarray, unroll: int = 8):
+    """Scan over the frame axis.  Zt: [T, ..., F, M].
+
+    ``unroll`` amortises the per-step scan overhead — each XLA loop
+    iteration runs several frames back to back (the recursion itself stays
+    exact); 8 is a good default for the [B, F, M, M] working set."""
+    return jax.lax.scan(lambda s, z: enhance_step(cfg, steer, s, z), state, Zt, unroll=unroll)
 
 
 def enhance_process(

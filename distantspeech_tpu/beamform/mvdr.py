@@ -31,6 +31,7 @@ from distantspeech_tpu.array.geometry import ArrayGeometry
 from distantspeech_tpu.array.steering import steering_vector
 from distantspeech_tpu.noise.mcra import McraConfig, McraState, mcra_init, mcra_step
 from distantspeech_tpu.stats.psd import rank1_update
+from distantspeech_tpu.stats.linalg import gauss_jordan_inv
 from distantspeech_tpu.stats.weights import mvdr_weights
 from distantspeech_tpu.transform import StftConfig, analysis, synthesis
 
@@ -78,7 +79,7 @@ def mvdr_step(
     update = p < cfg.p_vad  # [..., F]
     Rvv_cand = rank1_update(state.Rvv, Z, cfg.alpha_v)
     eye = jnp.eye(Z.shape[-1], dtype=Z.dtype)
-    inv_cand = jnp.linalg.inv(Rvv_cand + cfg.diag * eye)
+    inv_cand = gauss_jordan_inv(Rvv_cand + cfg.diag * eye)
     gate = update[..., None, None]
     Rvv = jnp.where(gate, Rvv_cand, state.Rvv)
     Rvv_inv = jnp.where(gate, inv_cand, state.Rvv_inv)

@@ -165,6 +165,25 @@ def load(module: str):
     return importlib.import_module(module)
 
 
+def restore_delayline():
+    """Reference bit-rot shim: dios_ssp_gsc_{abm,aic}.py import ``delayline``
+    from beamformer.utils where it no longer exists.  Restore the C
+    semantics implied by their usage (shift-left keep n1, append block):
+        dline[:n1] = dline[n2-n1:n2]; dline[n1:n2] = x
+    """
+    utils = load("DistantSpeech.beamformer.utils")
+    if not hasattr(utils, "delayline"):
+
+        def delayline(x, dline, n1, n2):
+            x = np.asarray(x)
+            dline[:n1] = dline[n2 - n1 : n2]
+            dline[n1:n2] = x
+            return dline
+
+        utils.delayline = delayline
+    return utils
+
+
 @functools.lru_cache(maxsize=None)
 def patch_beamformer_base():
     """Compat shim: FixedBeamformer/adaptivebeamfomer at reference HEAD pass

@@ -1,0 +1,63 @@
+"""Parity tests for the dios_ssp (athena-signal) GSC ABM/AIC port."""
+
+import numpy as np
+import jax.numpy as jnp
+
+import refutil
+from distantspeech_tpu.beamform.dios_gsc import (
+    DiosGscConfig,
+    dios_abm_init,
+    dios_abm_step,
+    dios_aic_init,
+    dios_aic_step,
+)
+
+
+def test_dios_abm_parity():
+    refutil.restore_delayline()
+    mod = refutil.load("DistantSpeech.beamformer.dios_ssp_gsc_abm")
+    cfg = DiosGscConfig()
+    ref = mod.objFGSCabm()
+
+    rng = np.random.default_rng(0)
+    n_seg = 120
+    X = rng.standard_normal((n_seg, 4, cfg.seg))
+    xref = rng.standard_normal((n_seg, cfg.seg)) * 0.5
+    ctrl_abm = rng.uniform(0.0, 1.0, size=(n_seg, cfg.half_bin))
+    ctrl_aic = rng.uniform(0.0, 1.0, size=(n_seg, cfg.half_bin))
+
+    st = dios_abm_init(cfg)
+    for n in range(n_seg):
+        out_ref = mod.dios_ssp_gsc_gscabm_process(
+            ref, X[n].copy(), xref[n].copy(), 0, ctrl_abm[n].copy(), ctrl_aic[n].copy()
+        )
+        st, out = dios_abm_step(
+            cfg, st, jnp.asarray(X[n]), jnp.asarray(xref[n]), jnp.asarray(ctrl_abm[n]), jnp.asarray(ctrl_aic[n])
+        )
+        np.testing.assert_allclose(np.asarray(out), out_ref, rtol=1e-8, atol=1e-10, err_msg=f"segment {n}")
+    np.testing.assert_allclose(np.asarray(st.hf), ref.hf, rtol=1e-8, atol=1e-10)
+
+
+def test_dios_aic_parity():
+    refutil.restore_delayline()
+    mod = refutil.load("DistantSpeech.beamformer.dios_ssp_gsc_aic")
+    cfg = DiosGscConfig()
+    ref = mod.objFGSCaic()
+
+    rng = np.random.default_rng(1)
+    n_seg = 120
+    X = rng.standard_normal((n_seg, 4, cfg.seg))
+    xref = rng.standard_normal((n_seg, cfg.seg)) * 0.5
+    ctrl_abm = rng.uniform(0.0, 1.0, size=(n_seg, cfg.half_bin))
+    ctrl_aic = rng.uniform(0.0, 1.0, size=(n_seg, cfg.half_bin))
+
+    st = dios_aic_init(cfg)
+    for n in range(n_seg):
+        out_ref = mod.dios_ssp_gsc_gscaic_process(
+            ref, xref[n].copy(), X[n].copy(), 0, ctrl_abm[n].copy(), ctrl_aic[n].copy()
+        )
+        st, out = dios_aic_step(
+            cfg, st, jnp.asarray(X[n]), jnp.asarray(xref[n]), jnp.asarray(ctrl_abm[n]), jnp.asarray(ctrl_aic[n])
+        )
+        np.testing.assert_allclose(np.asarray(out), out_ref, rtol=1e-8, atol=1e-10, err_msg=f"segment {n}")
+    np.testing.assert_allclose(np.asarray(st.Hf), ref.Hf[:, 0, :], rtol=1e-8, atol=1e-10)

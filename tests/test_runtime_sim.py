@@ -1,0 +1,75 @@
+"""Tests for runtime I/O, streaming driver, and room simulation."""
+
+import os
+import tempfile
+
+import numpy as np
+import jax.numpy as jnp
+
+from distantspeech_tpu.runtime import StreamingProcessor, load_audio, load_pcm, pcmread, save_audio
+from distantspeech_tpu.runtime.streaming import wav_chunks
+from distantspeech_tpu.sim import RoomConfig, generate_scene, image_source_rir
+
+
+def test_wav_roundtrip():
+    x = np.sin(2 * np.pi * 440 * np.arange(16000) / 16000) * 0.5
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "tone.wav")
+        save_audio(path, x)
+        y = load_audio(path)
+        np.testing.assert_allclose(y, x, atol=1e-4)
+
+
+def test_pcm_read():
+    x = (np.random.default_rng(0).standard_normal(1000) * 0.1 * 32768).astype(np.int16)
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "a.pcm")
+        x.tofile(p)
+        y = pcmread(p)
+        np.testing.assert_allclose(y, x / 32768.0, atol=1e-9)
+        stacked = load_pcm(d)
+        assert stacked.shape == (1, 1000)
+
+
+def test_streaming_processor_matches_offline():
+    """Chunked streaming through the jitted step equals offline processing."""
+    from distantspeech_tpu.transform import StftConfig
+    from distantspeech_tpu.transform.stft import istft_stream, stft_stream, analysis, synthesis
+
+    cfg = StftConfig(256, 128)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(128 * 40).astype(np.float32)
+
+    def step(state, chunk):
+        cin, cout = state
+        cin, Y = stft_stream(cin, chunk, cfg)
+        cout, y = istft_stream(cout, Y, cfg)
+        return (cin, cout), y
+
+    init = (jnp.zeros(cfg.overlap), jnp.zeros(cfg.overlap))
+    proc = StreamingProcessor(step, init, chunk_size=512)
+    out = proc.run(wav_chunks(x, 512))
+    want = np.asarray(synthesis(analysis(jnp.asarray(x), cfg), cfg))
+    np.testing.assert_allclose(out[: len(want)], want[: len(out)], atol=1e-5)
+    assert proc.chunks == len(x) // 512
+
+
+def test_image_source_rir_basics():
+    cfg = RoomConfig(max_order=2)
+    mics = np.array([[2.5, 1.5, 0.5], [2.53, 1.5, 0.5]])
+    rir = image_source_rir(np.array([3.5, 1.5, 0.5]), mics, cfg)
+    assert rir.shape[0] == 2 and np.isfinite(rir).all()
+    # direct path: distance 1 m -> delay ~ fs/c ~ 46.6 samples, amp ~ 1/(4 pi)
+    peak = np.argmax(np.abs(rir[0]))
+    assert abs(peak - (1.0 / cfg.c * cfg.fs + 40)) < 45  # within the sinc half-width
+    # closer mic louder direct path
+    assert np.max(np.abs(rir[1])) > 0.9 * np.max(np.abs(rir[0]))
+
+
+def test_generate_scene_snr():
+    rng = np.random.default_rng(2)
+    mics = np.stack([np.array([0.032 * m, 0, 0]) for m in range(4)], axis=0)
+    src = rng.standard_normal(16000)
+    mix = generate_scene(src, mics, snr=30, sir=15, cfg=RoomConfig(max_order=1))
+    assert mix.shape == (4, 16000)
+    assert np.isfinite(mix).all() and np.max(np.abs(mix)) < 10
