@@ -1,0 +1,117 @@
+"""Command-line entry point: enhance multichannel audio with any pipeline.
+
+Replaces the reference's per-algorithm example scripts (example/run_*.py)
+with one driver:
+
+    python -m distantspeech_tpu.runtime.cli input.wav output.wav \
+        --pipeline mvdr --mics 4 --array linear --angle 90
+
+Pipelines: fixed (DS/SD), mvdr, enhance (MVDR+OM-LSA), gsc, tdgsc, fdgsc,
+subband_gsc, wpe, kws, binaural.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="distantspeech_tpu enhancement CLI")
+    p.add_argument("input", help="input wav (multichannel) or directory of per-channel wavs")
+    p.add_argument("output", help="output wav path")
+    p.add_argument("--pipeline", default="enhance",
+                   choices=["fixed_ds", "fixed_sd", "mvdr", "enhance", "gsc", "tdgsc",
+                            "fdgsc", "subband_gsc", "wpe", "kws", "binaural"])
+    p.add_argument("--array", default="linear", choices=["linear", "circular"])
+    p.add_argument("--mics", type=int, default=None, help="number of mics (default: all channels)")
+    p.add_argument("--spacing", type=float, default=0.032, help="spacing / radius in metres")
+    p.add_argument("--angle", type=float, default=90.0, help="look azimuth in degrees")
+    p.add_argument("--frame-len", type=int, default=256)
+    p.add_argument("--fs", type=int, default=16000)
+    return p
+
+
+def run(args) -> np.ndarray:
+    import os
+
+    import jax.numpy as jnp
+
+    from distantspeech_tpu.array.geometry import ArrayGeometry
+    from distantspeech_tpu.runtime.io import load_audio, load_wav_dir, save_audio
+
+    if os.path.isdir(args.input):
+        x, fs = load_wav_dir(args.input)
+    else:
+        x = load_audio(args.input)
+        if x.ndim == 2:
+            x = x.T  # [C, S]
+        else:
+            x = x[None, :]
+        fs = args.fs
+    M = args.mics or x.shape[0]
+    x = np.ascontiguousarray(x[:M], dtype=np.float32)
+
+    mk = ArrayGeometry.linear if args.array == "linear" else ArrayGeometry.circular
+    geom = mk(M, args.spacing, fs=fs)
+    angle = (args.angle, 0.0)
+    angle_rad = (args.angle / 180.0 * np.pi, 0.0)
+    xj = jnp.asarray(x)
+
+    if args.pipeline in ("fixed_ds", "fixed_sd"):
+        from distantspeech_tpu.beamform import FixedBeamformerConfig, fixed_beamformer_weights, fixed_process
+
+        cfg = FixedBeamformerConfig(weight_type="DS" if args.pipeline == "fixed_ds" else "SD")
+        W = fixed_beamformer_weights(geom, angle, cfg)
+        y = fixed_process(xj, jnp.asarray(W), cfg.stft)
+    elif args.pipeline == "mvdr":
+        from distantspeech_tpu.beamform import mvdr_process
+
+        y = mvdr_process(xj, geom, angle)
+    elif args.pipeline == "enhance":
+        from distantspeech_tpu.beamform.enhance import enhance_process
+
+        y = enhance_process(xj, geom, angle)
+    elif args.pipeline == "gsc":
+        from distantspeech_tpu.beamform import GscConfig, gsc_process
+
+        y = gsc_process(xj, geom, angle_rad, GscConfig(n_mics=M, frame_len=args.frame_len))
+    elif args.pipeline == "tdgsc":
+        from distantspeech_tpu.beamform import TdGscConfig, tdgsc_process
+
+        y, _, _ = tdgsc_process(xj, geom, angle_rad, TdGscConfig(n_mics=M, frame_len=args.frame_len))
+    elif args.pipeline == "fdgsc":
+        from distantspeech_tpu.beamform import FdGscConfig, fdgsc_process
+
+        y, _, _ = fdgsc_process(xj, geom, angle_rad, FdGscConfig(n_mics=M, frame_len=args.frame_len))
+    elif args.pipeline == "subband_gsc":
+        from distantspeech_tpu.beamform import SubbandGscConfig, subband_gsc_process
+
+        y, _, _ = subband_gsc_process(xj, geom, angle_rad, SubbandGscConfig(n_mics=M, frame_len=args.frame_len))
+    elif args.pipeline == "wpe":
+        from distantspeech_tpu.derev import WpeConfig, wpe_process
+
+        y = wpe_process(xj, WpeConfig(n_channels=M))
+    elif args.pipeline == "kws":
+        from distantspeech_tpu.kws import DualMicKwsConfig, kws_process
+
+        y = kws_process(xj[:2], DualMicKwsConfig(frame_len=args.frame_len))
+    elif args.pipeline == "binaural":
+        from distantspeech_tpu.coherence.enhance import BinauralConfig, binaural_process
+
+        y, _ = binaural_process(xj[:2], geom, BinauralConfig(n_fft=args.frame_len))
+    else:  # pragma: no cover
+        raise ValueError(args.pipeline)
+
+    y = np.asarray(y)
+    save_audio(args.output, y / max(np.max(np.abs(y)), 1e-9) * 0.9, fs=fs)
+    return y
+
+
+def main():  # pragma: no cover - thin wrapper
+    run(build_parser().parse_args())
+
+
+if __name__ == "__main__":
+    main()
