@@ -30,7 +30,7 @@ from distantspeech_tpu.transform import StftConfig, analysis, synthesis
 
 @dataclasses.dataclass(frozen=True)
 class EnhanceConfig:
-    mvdr: MvdrConfig = MvdrConfig()
+    mvdr: MvdrConfig = MvdrConfig(mcra_L=65)  # speech-scale minima window
     alpha_xi: float = 0.92  # decision-directed pole
     gmin: float = 0.0631  # -24 dB gain floor (mcspp_base.py:140)
 

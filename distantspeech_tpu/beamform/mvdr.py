@@ -43,10 +43,13 @@ class MvdrConfig:
     alpha_v: float = 0.9998  # Rvv smoothing (adaptivebeamformer.py:66)
     p_vad: float = 0.4  # MCRA gate (adaptivebeamformer.py:94)
     diag: float = 1e-6  # diagonal loading (adaptivebeamformer.py:89)
+    mcra_L: int = 15  # minima window; 15 matches the reference MVDR default,
+    # but real speech needs ~65 (0.5 s) or bursts leak into the noise floor
+    # (the reference's own GSC pipelines use 60-65, TDGSC.py:44-45)
 
     @property
     def mcra(self) -> McraConfig:
-        return McraConfig(nfft=self.stft.n_fft)
+        return McraConfig(nfft=self.stft.n_fft, L=self.mcra_L)
 
 
 class MvdrState(NamedTuple):
@@ -96,6 +99,27 @@ def mvdr_scan(cfg: MvdrConfig, steer: jnp.ndarray, state: MvdrState, X: jnp.ndar
     Returns (final_state, Y [T, ..., F]).
     """
     return jax.lax.scan(lambda s, z: mvdr_step(cfg, steer, s, z), state, X)
+
+
+def offline_mvdr_weights(
+    X: jnp.ndarray, steer: jnp.ndarray, n_est_frames: int = 200, alpha: float = 0.9, diag: float = 1e-6
+) -> jnp.ndarray:
+    """Offline MVDR: recursive Rvv over the first ``n_est_frames`` frames,
+    then fixed weights (AdaptiveMVDR2 / AdaptiveMVDR semantics,
+    adaptivebeamformer.py:130-230, Rvv seeded with ones).
+
+    X: [..., T, F, M] spectrogram; steer: [F, M].  Returns w [..., F, M].
+    """
+    M = X.shape[-1]
+    ones = jnp.ones((*X.shape[:-3], X.shape[-2], M, M), dtype=X.dtype)
+
+    def body(R, z):
+        return alpha * R + (1.0 - alpha) * (z[..., :, None] * jnp.conj(z)[..., None, :]), None
+
+    Rvv, _ = jax.lax.scan(body, ones, jnp.moveaxis(X[..., :n_est_frames, :, :], -3, 0))
+    eye = jnp.eye(M, dtype=X.dtype)
+    Rvv_inv = jnp.linalg.inv(Rvv + diag * eye)
+    return mvdr_weights(steer.astype(X.dtype), Rvv_inv)
 
 
 def mvdr_process(
