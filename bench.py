@@ -29,7 +29,7 @@ def main():
 
     fs = 16000
     n_mics = 8
-    batch = 8
+    batch = 32
     seconds_per_utt = 4.0
     S = int(fs * seconds_per_utt) // 128 * 128
 

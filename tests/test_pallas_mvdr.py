@@ -1,0 +1,45 @@
+"""Interpreter-mode exactness test for the fused Pallas MVDR kernel."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from distantspeech_tpu.ops.pallas_mvdr import pallas_mvdr_scan
+from distantspeech_tpu.stats.linalg import gauss_jordan_inv
+from distantspeech_tpu.stats.weights import mvdr_weights
+
+
+def _jnp_reference(Z, gate, steer, alpha_v=0.9998, diag=1e-6):
+    """The mvdr_step recursion with an externally-supplied gate."""
+    T, B, F, M = Z.shape
+    eye = jnp.eye(M, dtype=Z.dtype)
+
+    def step(carry, inp):
+        Rvv, Rinv = carry
+        z, g = inp
+        cand = alpha_v * Rvv + (1 - alpha_v) * z[..., :, None] * jnp.conj(z)[..., None, :]
+        inv_cand = gauss_jordan_inv(cand + diag * eye)
+        gm = g[..., None, None] > 0.5
+        Rvv = jnp.where(gm, cand, Rvv)
+        Rinv = jnp.where(gm, inv_cand, Rinv)
+        w = mvdr_weights(steer.astype(Z.dtype), Rinv)
+        y = jnp.einsum("...fm,...fm->...f", jnp.conj(w), z)
+        return (Rvv, Rinv), y
+
+    z0 = jnp.zeros((B, F, M, M), dtype=Z.dtype)
+    _, Y = jax.lax.scan(step, (z0, z0), (Z, gate))
+    return Y
+
+
+def test_pallas_mvdr_matches_scan():
+    rng = np.random.default_rng(0)
+    T, B, F, M = 12, 2, 5, 4
+    Z = (rng.standard_normal((T, B, F, M)) + 1j * rng.standard_normal((T, B, F, M))).astype(np.complex64)
+    gate = (rng.uniform(size=(T, B, F)) > 0.3).astype(np.float32)
+    steer = np.exp(1j * rng.uniform(0, 2 * np.pi, (F, M))).astype(np.complex64)
+
+    want = np.asarray(_jnp_reference(jnp.asarray(Z), jnp.asarray(gate), jnp.asarray(steer)))
+    got = np.asarray(
+        pallas_mvdr_scan(jnp.asarray(Z), jnp.asarray(gate), jnp.asarray(steer), f_tile=8, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
