@@ -18,16 +18,21 @@ wangwei2009/DistantSpeech (reference at /root/reference), redesigned TPU-first:
 
 Subpackages
 -----------
-array      geometry, TDOA/steering, diffuse-field coherence, room simulation
-transform  STFT/ISTFT, subband (Nyquist-M) filterbanks, multirate filters
-ops        framing/overlap-add primitives and Pallas kernels
-stats      recursive PSD/CSD/covariance estimation, beamformer weight rules
-noise      MCRA/MC-SPP/MC-CDR/OMLSA noise & speech-presence estimation
-adaptive   NLMS/RLS/FLMS/MDF/subband adaptive filters, AEC
-beamform   fixed (DS/SD) and adaptive (MVDR/TFGSC/GEV/PMWF) beamformers
-pipelines  GSC family, postfilters, WPE, DOA, KWS front-end
-parallel   mesh construction, sharded batch processing, halo exchange
-runtime    streaming drivers, config, I/O
+array      geometry, TDOA/steering, diffuse-field coherence, fractional-delay alignment
+transform  STFT/ISTFT, Nyquist(M) subband filterbank + design, multirate, Griffin-Lim
+ops        framing/overlap-add, delay lines, grouped FIR, log-depth IIR, Pallas kernels
+stats      recursive PSD/CSD/covariance, weight rules, metrics, fast batched inverse
+noise      MCRA/MCRA2/MC-SPP/MC-CDR/MC-MCRA/OMLSA estimation
+adaptive   NLMS/BlockLMS/RLS/FLMS/MDF/AEC/subband adaptive filters, emphasis
+beamform   DS/SD, adaptive MVDR, MVDR+OM-LSA flagship, GSC/TDGSC/FDGSC/SubbandGSC, dios_ssp port
+coherence  pairwise MSC tracking, coherent gain rules, dual-mic enhancement
+postfilter McCowan/Zelinski coherence postfilter
+derev      multichannel RLS-WPE dereverberation
+doa        SRP-PHAT, IDOA spatial speech presence
+kws        dual-mic deferred-weights hotword cleaner
+sim        image-source shoebox room simulation (fixtures)
+parallel   ('dp','fb') mesh construction, sharded pipelines
+runtime    I/O, streaming driver, checkpoint/resume, profiling, CLI
 """
 
 __version__ = "0.1.0"

@@ -12,3 +12,5 @@ from distantspeech_tpu.beamform.subband_gsc import (
     subband_gsc_step,
 )
 from distantspeech_tpu.beamform.ccaf import ccafbounds
+from distantspeech_tpu.beamform.enhance import EnhanceConfig, EnhanceState, enhance_init, enhance_process, enhance_scan, enhance_step
+from distantspeech_tpu.beamform.mvdr import offline_mvdr_weights
