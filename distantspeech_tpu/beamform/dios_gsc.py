@@ -238,3 +238,59 @@ def dios_aic_step(
     Hf = jnp.fft.rfft(w, axis=-1)
 
     return DiosAicState(Xdline=Xdline, xrefdline=xrefdline, Hf=Hf, sf=sf), out
+
+
+class DiosGscState(NamedTuple):
+    abm: DiosAbmState
+    aic: DiosAicState
+    fir_cache: jnp.ndarray  # time-alignment FIR tail [..., M, K-1]
+
+
+def dios_gsc_process(
+    x: jnp.ndarray,
+    coeffs: jnp.ndarray,
+    cfg: DiosGscConfig = DiosGscConfig(),
+    ctrl_abm: jnp.ndarray = None,
+    ctrl_aic: jnp.ndarray = None,
+):
+    """Composed dios_ssp GSC driver (dios_ssp_gsc.py:52-114 wiring).
+
+    Per 16-sample segment: fractional-delay time alignment, FBF = channel
+    mean, ABM, AIC.  x: [..., M, S]; coeffs: [M, K] alignment FIR bank
+    (``array.alignment.time_alignment_filters``); ctrl_*: optional
+    [T_seg, Fb] external stepsize controls (default all-ones like the
+    reference driver's final configuration, dios_ssp_gsc.py:87-88).
+
+    Returns (aic_out [..., S'], bm_out [..., S', M]).
+    """
+    import jax as _jax
+
+    seg = cfg.seg
+    T = x.shape[-1] // seg
+    if ctrl_abm is None:
+        ctrl_abm = jnp.ones((T, cfg.half_bin), dtype=x.dtype)
+    if ctrl_aic is None:
+        ctrl_aic = jnp.ones((T, cfg.half_bin), dtype=x.dtype)
+
+    from distantspeech_tpu.ops.fir import fir_filter_block
+
+    K = coeffs.shape[-1]
+    state = DiosGscState(
+        abm=dios_abm_init(cfg, x.shape[:-2], dtype=x.dtype),
+        aic=dios_aic_init(cfg, x.shape[:-2], dtype=x.dtype),
+        fir_cache=jnp.zeros((*x.shape[:-1], K - 1), dtype=x.dtype),
+    )
+    xb = jnp.moveaxis(x[..., : T * seg].reshape(*x.shape[:-1], T, seg), -2, 0)  # [T, ..., M, seg]
+
+    def step(st, inp):
+        blk, ca, ci = inp
+        fir_cache, aligned = fir_filter_block(st.fir_cache, blk, coeffs)
+        fbf = jnp.mean(aligned, axis=-2)
+        abm_st, bm_seg = dios_abm_step(cfg, st.abm, aligned, fbf, ca, ci)  # [..., seg, M]
+        aic_st, out_seg = dios_aic_step(cfg, st.aic, jnp.moveaxis(bm_seg, -1, -2), fbf, ca, ci)
+        return DiosGscState(abm=abm_st, aic=aic_st, fir_cache=fir_cache), (out_seg, bm_seg)
+
+    _, (out, bm) = _jax.lax.scan(step, state, (xb, ctrl_abm, ctrl_aic))
+    out = jnp.moveaxis(out, 0, -2).reshape(*x.shape[:-2], T * seg)
+    bm = jnp.moveaxis(bm, 0, -3).reshape(*x.shape[:-2], T * seg, cfg.n_mics)
+    return out, bm
