@@ -74,3 +74,43 @@ def make_sharded_enhance(
         return enhance_process_sharded(x, steer, mesh, cfg, geometry.n_mics)
 
     return run
+
+
+def make_sharded_gsc(mesh: Mesh, geometry: ArrayGeometry, angle_rad=(197.0 / 180.0 * np.pi, 0.0), cfg=None):
+    """Jit the frequency-domain GSC over a ('dp','fb') mesh.
+
+    Demonstrates the same recipe on a second pipeline: the MC-MCRA SPP state
+    ([B, F, C, C] covariances and [B, F] statistics) shards over (dp, fb);
+    its 3-tap frequency smoothing becomes the halo exchange.
+    Returns f(x [B, M, S]) -> [B, S].
+    """
+    from distantspeech_tpu.beamform.gsc import GscConfig, gsc_init, gsc_step, gsc_steering
+
+    if cfg is None:
+        cfg = GscConfig(n_mics=geometry.n_mics)
+    a = np.asarray(gsc_steering(cfg, geometry, angle_rad), dtype=np.complex64)
+    in_sharding = NamedSharding(mesh, P("dp", None, None))
+    spec_tf = NamedSharding(mesh, P(None, "dp", "fb", None))
+
+    @jax.jit
+    def run(x):
+        x = jax.lax.with_sharding_constraint(x, in_sharding)
+        X = analysis(x, cfg.stft)  # [B, M, T, F]
+        Zt = jnp.moveaxis(jnp.moveaxis(X, -3, -1), -3, 0)  # [T, B, F, M]
+        Zt = jax.lax.with_sharding_constraint(Zt, spec_tf)
+        state = gsc_init(cfg, batch_shape=Zt.shape[1:-2], cdtype=Zt.dtype)
+        state = jax.tree.map(
+            lambda leaf: jax.lax.with_sharding_constraint(
+                leaf,
+                NamedSharding(
+                    mesh,
+                    P("dp", "fb", *([None] * (leaf.ndim - 2))) if leaf.ndim >= 2 else P(),
+                ),
+            ),
+            state,
+        )
+        _, Y = jax.lax.scan(lambda s, z: gsc_step(cfg, jnp.asarray(a).astype(z.dtype), s, z), state, Zt)
+        Y = jax.lax.with_sharding_constraint(Y, NamedSharding(mesh, P(None, "dp", "fb")))
+        return synthesis(jnp.moveaxis(Y, 0, -2), cfg.stft)
+
+    return run

@@ -39,3 +39,20 @@ def test_sharded_enhance_batch_sharded_inputs():
     got = np.asarray(run(xs))
     want = np.asarray(run(jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_sharded_gsc_matches_single_device():
+    from distantspeech_tpu.beamform.gsc import GscConfig, gsc_process
+    from distantspeech_tpu.parallel.sharded import make_sharded_gsc
+
+    geom = ArrayGeometry.circular(4, 0.032)
+    cfg = GscConfig(n_mics=4, frame_len=256)
+    rng = np.random.default_rng(2)
+    x = (rng.standard_normal((4, 4, 256 * 8)) * 0.1).astype(np.float32)
+    angle = (197.0 / 180.0 * np.pi, 0.0)
+
+    want = np.asarray(gsc_process(jnp.asarray(x), geom, angle, cfg))
+    mesh = make_mesh(2, 4)
+    run = make_sharded_gsc(mesh, geom, angle, cfg)
+    got = np.asarray(run(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
