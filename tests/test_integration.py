@@ -75,3 +75,21 @@ def test_ds_beamformer_array_gain(scene):
     W = fixed_beamformer_weights(geom, (90.0, 0.0), cfg)
     y = np.asarray(fixed_process(jnp.asarray(mix), jnp.asarray(W), cfg.stft))
     assert np.isfinite(y).all() and y.shape == (mix.shape[1],)
+
+
+def test_pmwf_pipeline_enhances(scene):
+    from distantspeech_tpu.beamform.pmwf import PmwfConfig, pmwf_process
+
+    geom, src, mix = scene
+    y = np.asarray(pmwf_process(jnp.asarray(mix), geom, PmwfConfig(n_mics=4, full=True)))
+    assert np.isfinite(y).all()
+
+    def si_sdr(est, ref):
+        n = min(len(est), len(ref))
+        est, ref = est[:n] - est[:n].mean(), ref[:n] - ref[:n].mean()
+        a = np.dot(est, ref) / np.dot(ref, ref)
+        return 10 * np.log10(np.sum((a * ref) ** 2) / np.sum((est - a * ref) ** 2))
+
+    best_in = max(si_sdr(mix[0][l:], src[: len(src) - l]) for l in range(0, 400))
+    best_out = max(si_sdr(y[l:], src[: len(src) - l]) for l in range(0, 400))
+    assert best_out > best_in - 1.0, (best_in, best_out)  # no catastrophic distortion
