@@ -1,5 +1,6 @@
 from distantspeech_tpu.transform.stft import (
     StftConfig,
+    magphase,
     analysis,
     istft_stream,
     sqrt_hann_window,
@@ -24,6 +25,7 @@ from distantspeech_tpu.transform.subband import (
 
 __all__ = [
     "StftConfig",
+    "magphase",
     "sqrt_hann_window",
     "stft_frames",
     "analysis",

@@ -148,3 +148,11 @@ def istft_stream(
 
 def stft_init_carry(batch_shape, cfg: StftConfig, dtype=jnp.float32) -> jnp.ndarray:
     return jnp.zeros((*batch_shape, cfg.overlap), dtype=dtype)
+
+
+def magphase(D: jnp.ndarray, power: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Split a complex spectrogram into magnitude**power and unit phase
+    (Transform.magphase, transform.py:483-488)."""
+    mag = jnp.abs(D) ** power
+    phase = jnp.exp(1j * jnp.angle(D))
+    return mag, phase
