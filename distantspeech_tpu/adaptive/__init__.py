@@ -12,6 +12,7 @@ from distantspeech_tpu.adaptive.nlms import (
     BlockLmsState,
     NlmsState,
     RlsState,
+    awgn,
     block_lms_init,
     block_lms_step,
     nlms_filter,

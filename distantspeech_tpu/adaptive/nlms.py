@@ -21,6 +21,20 @@ import jax
 import jax.numpy as jnp
 
 
+def awgn(x, snr: float, seed: int = 7):
+    """Add white Gaussian noise at a given SNR in dB (reference ``awgn``,
+    BaseFilter.py:9-21 — same legacy-NumPy RNG so outputs match exactly).
+
+    Host-side test/demo utility; x: [N] numpy array."""
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    lin = 10.0 ** (snr / 10.0)
+    xpower = np.sum(np.asarray(x) ** 2) / len(x)
+    noise = rs.randn(len(x)) * np.sqrt(xpower / lin)
+    return np.asarray(x) + noise
+
+
 class NlmsState(NamedTuple):
     w: jnp.ndarray  # [..., L]
     buf: jnp.ndarray  # input shift register [..., L], newest first

@@ -43,6 +43,11 @@ class MvdrConfig:
     alpha_v: float = 0.9998  # Rvv smoothing (adaptivebeamformer.py:66)
     p_vad: float = 0.4  # MCRA gate (adaptivebeamformer.py:94)
     diag: float = 1e-6  # diagonal loading (adaptivebeamformer.py:89)
+    rel_diag: float = 0.0  # extra loading scaled by tr(Rvv)/M; 0 matches the
+    # reference exactly.  Set ~1e-5 for production robustness: a perfectly
+    # coherent stationary source slips past the MCRA gate and drives Rvv
+    # rank-1, and the complex64 inverse of a matrix conditioned worse than
+    # ~1e7 emits non-finite weights (float64 reference merely degrades).
     mcra_L: int = 15  # minima window; 15 matches the reference MVDR default,
     # but real speech needs ~65 (0.5 s) or bursts leak into the noise floor
     # (the reference's own GSC pipelines use 60-65, TDGSC.py:44-45)
@@ -82,7 +87,12 @@ def mvdr_step(
     update = p < cfg.p_vad  # [..., F]
     Rvv_cand = rank1_update(state.Rvv, Z, cfg.alpha_v)
     eye = jnp.eye(Z.shape[-1], dtype=Z.dtype)
-    inv_cand = gauss_jordan_inv(Rvv_cand + cfg.diag * eye)
+    load = cfg.diag
+    if cfg.rel_diag:
+        M = Z.shape[-1]
+        tr = jnp.einsum("...fmm->...f", Rvv_cand.real) / M
+        load = cfg.diag + cfg.rel_diag * tr[..., None, None].astype(Z.dtype)
+    inv_cand = gauss_jordan_inv(Rvv_cand + load * eye)
     gate = update[..., None, None]
     Rvv = jnp.where(gate, Rvv_cand, state.Rvv)
     Rvv_inv = jnp.where(gate, inv_cand, state.Rvv_inv)

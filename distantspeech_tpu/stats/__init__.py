@@ -3,6 +3,7 @@ from distantspeech_tpu.stats.weights import (
     blind_analytic_normalization,
     diag_load_inv,
     mvdr_weights,
+    phase_correction,
     pmwf_weights,
     tfgsc_weights,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "tfgsc_weights",
     "diag_load_inv",
     "blind_analytic_normalization",
+    "phase_correction",
     "array_gain",
     "beampattern",
     "wng_di",

@@ -86,6 +86,25 @@ def gev_weights(Rxx: jnp.ndarray, Rvv: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("...ji,...j->...i", jnp.conj(Li), v)
 
 
+def phase_correction(w: jnp.ndarray) -> jnp.ndarray:
+    """Align beamformer-vector phase across frequency (reference
+    ``phase_correction``, beamformer.py:66-77).
+
+    The oracle is a serial recursion over bins: each bin is rotated so its
+    inner product with the *already corrected* previous bin is real-positive.
+    Because each correction is a pure unit phase, the recursion telescopes to
+    a cumulative sum of the raw pairwise phases — one vectorised ``cumsum``
+    instead of a bin loop.
+
+    w: [..., F, C] -> phase-corrected [..., F, C].
+    """
+    pair = jnp.sum(w[..., 1:, :] * jnp.conj(w[..., :-1, :]), axis=-1)
+    phi = jnp.angle(pair)
+    theta = jnp.cumsum(phi, axis=-1)
+    theta = jnp.concatenate([jnp.zeros_like(theta[..., :1]), theta], axis=-1)
+    return w * jnp.exp(-1j * theta)[..., None]
+
+
 def pca_steering(Rxx: jnp.ndarray) -> jnp.ndarray:
     """Principal eigenvector of the spatial covariance, phase-normalised to
     channel 0 (reference ``steering``, beamformer.py:10-31)."""

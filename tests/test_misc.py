@@ -63,3 +63,23 @@ def test_timer_and_metrics():
     m = stage_metrics("bf", np.ones(100), 0.5 * np.ones(100), p=np.array([0.9, 0.1]))
     assert abs(m["energy_ratio_db"] - 10 * np.log10(0.25)) < 1e-9
     assert m["p_active_frac"] == 0.5
+
+
+def test_phase_correction_parity():
+    from distantspeech_tpu.stats import phase_correction
+
+    beamformer = refutil.load("DistantSpeech.beamformer.beamformer")
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((65, 4)) + 1j * rng.standard_normal((65, 4))
+    ref = beamformer.phase_correction(w.copy())
+    ours = np.asarray(phase_correction(jnp.asarray(w)))
+    np.testing.assert_allclose(ours, ref, rtol=0, atol=1e-10)
+
+
+def test_awgn_parity():
+    from distantspeech_tpu.adaptive import awgn
+
+    base = refutil.load("DistantSpeech.adaptivefilter.BaseFilter")
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(4096)
+    np.testing.assert_allclose(awgn(x, 10.0), base.awgn(x, 10), rtol=0, atol=0)
