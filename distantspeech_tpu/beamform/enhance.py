@@ -80,18 +80,69 @@ def enhance_scan(cfg: EnhanceConfig, steer: jnp.ndarray, state: EnhanceState, Zt
     return jax.lax.scan(lambda s, z: enhance_step(cfg, steer, s, z), state, Zt, unroll=unroll)
 
 
+def enhance_scan_pallas(
+    cfg: EnhanceConfig, steer: jnp.ndarray, Zt: jnp.ndarray, interpret: bool = False
+) -> jnp.ndarray:
+    """Fast path of ``enhance_scan``: same math, split into the three scans
+    the hardware wants.
+
+    1. MCRA over frames — cheap elementwise jnp scan (cross-bin smoothing
+       halo kept out of the kernel);
+    2. the covariance/inverse frame loop — the fused sublane-tiled Pallas
+       kernel (``ops.pallas_mvdr``), the actual hot spot;
+    3. OM-LSA gain — another cheap elementwise scan.
+
+    Zt: [T, B, F, M] (exactly 4-D; the kernel's tiling wants a real batch
+    axis).  Returns Y [T, B, F].  Numerics match ``enhance_scan`` to float32
+    rounding (tests/test_pallas_mvdr.py).
+    """
+    from distantspeech_tpu.noise.mcra import mcra_run
+    from distantspeech_tpu.ops.pallas_mvdr import pallas_mvdr_scan
+
+    mv = cfg.mvdr
+    power = jnp.real(Zt[..., 0] * jnp.conj(Zt[..., 0]))  # [T, B, F]
+    lam, p = mcra_run(mv.mcra, power)
+    gate = (p < mv.p_vad).astype(jnp.float32)
+
+    Yf = pallas_mvdr_scan(
+        Zt, gate, steer, alpha_v=mv.alpha_v, diag=mv.diag, interpret=interpret
+    )  # [T, B, F]
+
+    lam = jnp.maximum(lam, 1e-10)
+    gamma = jnp.abs(Yf) ** 2 / lam
+
+    def gain_step(carry, xs):
+        G_H1_prev, gamma_prev = carry
+        gamma_t, p_t = xs
+        xi = cfg.alpha_xi * G_H1_prev**2 * gamma_prev + (1.0 - cfg.alpha_xi) * jnp.maximum(gamma_t - 1.0, 0.0)
+        G_H1 = xi / (1.0 + xi)
+        G = jnp.clip(G_H1**p_t * cfg.gmin ** (1.0 - p_t), cfg.gmin, 1.0)
+        return (G_H1, gamma_t), G
+
+    ones = jnp.ones(Zt.shape[1:-1], dtype=gamma.dtype)
+    _, G = jax.lax.scan(gain_step, (ones, ones), (gamma, p))
+    return Yf * G
+
+
 def enhance_process(
     x: jnp.ndarray,
     geometry: ArrayGeometry,
     look_angle_deg=(90.0, 0.0),
     cfg: EnhanceConfig = EnhanceConfig(),
+    backend: str = "scan",
 ) -> jnp.ndarray:
-    """Offline MVDR+OM-LSA of a time-domain batch.  x: [..., M, S] -> [..., S]."""
+    """Offline MVDR+OM-LSA of a time-domain batch.  x: [..., M, S] -> [..., S].
+
+    backend: 'scan' (pure lax.scan, any batch shape / any device) or
+    'pallas' (fused TPU kernel fast path; needs x of shape [B, M, S])."""
     angle_rad = np.asarray(look_angle_deg, dtype=np.float64) / 180.0 * np.pi
     steer = jnp.asarray(steering_vector(geometry, angle_rad, cfg.stft.n_fft))
 
     X = analysis(x, cfg.stft)  # [..., M, T, F]
     Zt = jnp.moveaxis(jnp.moveaxis(X, -3, -1), -3, 0)  # [T, ..., F, M]
-    state = enhance_init(cfg, geometry.n_mics, batch_shape=Zt.shape[1:-2], cdtype=Zt.dtype)
-    _, Y = enhance_scan(cfg, steer.astype(Zt.dtype), state, Zt)
+    if backend == "pallas":
+        Y = enhance_scan_pallas(cfg, steer.astype(Zt.dtype), Zt)
+    else:
+        state = enhance_init(cfg, geometry.n_mics, batch_shape=Zt.shape[1:-2], cdtype=Zt.dtype)
+        _, Y = enhance_scan(cfg, steer.astype(Zt.dtype), state, Zt)
     return synthesis(jnp.moveaxis(Y, 0, -2), cfg.stft)

@@ -43,3 +43,42 @@ def test_pallas_mvdr_matches_scan():
         pallas_mvdr_scan(jnp.asarray(Z), jnp.asarray(gate), jnp.asarray(steer), f_tile=8, interpret=True)
     )
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_mvdr_t_chunking():
+    """T not divisible by t_chunk: padded frames must not perturb real ones,
+    and the carry must persist across chunk boundaries."""
+    rng = np.random.default_rng(1)
+    T, B, F, M = 23, 3, 5, 4
+    Z = (rng.standard_normal((T, B, F, M)) + 1j * rng.standard_normal((T, B, F, M))).astype(np.complex64)
+    gate = (rng.uniform(size=(T, B, F)) > 0.3).astype(np.float32)
+    gate[0] = 1.0
+    steer = np.exp(1j * rng.uniform(0, 2 * np.pi, (F, M))).astype(np.complex64)
+
+    want = np.asarray(_jnp_reference(jnp.asarray(Z), jnp.asarray(gate), jnp.asarray(steer)))
+    got = np.asarray(
+        pallas_mvdr_scan(
+            jnp.asarray(Z), jnp.asarray(gate), jnp.asarray(steer), f_tile=8, t_chunk=8, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-5)
+
+
+def test_enhance_pallas_backend_matches_scan():
+    """Full fast path (MCRA pre-scan + Pallas kernel + OM-LSA scan) against
+    the fused enhance_scan reference."""
+    from distantspeech_tpu.beamform.enhance import (
+        EnhanceConfig, enhance_init, enhance_scan, enhance_scan_pallas,
+    )
+
+    rng = np.random.default_rng(2)
+    T, B, M = 40, 2, 4
+    cfg = EnhanceConfig()
+    F = cfg.stft.half_bin
+    Z = (rng.standard_normal((T, B, F, M)) + 1j * rng.standard_normal((T, B, F, M))).astype(np.complex64)
+    steer = np.exp(1j * rng.uniform(0, 2 * np.pi, (F, M))).astype(np.complex64)
+
+    state = enhance_init(cfg, M, batch_shape=(B,), cdtype=jnp.complex64)
+    _, want = enhance_scan(cfg, jnp.asarray(steer), state, jnp.asarray(Z))
+    got = enhance_scan_pallas(cfg, jnp.asarray(steer), jnp.asarray(Z), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-3, atol=2e-4)
