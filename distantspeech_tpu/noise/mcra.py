@@ -142,12 +142,12 @@ def mcra_step(cfg: McraConfig, state: McraState, Y: jnp.ndarray) -> Tuple[McraSt
     return new_state, (lam_out, p_out)
 
 
-def mcra_run(cfg: McraConfig, Y_tf: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def mcra_run(cfg: McraConfig, Y_tf: jnp.ndarray, unroll: int = 8) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Scan MCRA over a whole spectrogram.
 
     Y_tf: [T, ..., F] power spectrum, time-major.
     Returns (lambda_d [T, ..., F], p [T, ..., F]).
     """
     state = mcra_init(cfg, batch_shape=Y_tf.shape[1:-1], dtype=Y_tf.dtype)
-    _, (lam, p) = jax.lax.scan(lambda s, y: mcra_step(cfg, s, y), state, Y_tf)
+    _, (lam, p) = jax.lax.scan(lambda s, y: mcra_step(cfg, s, y), state, Y_tf, unroll=unroll)
     return lam, p

@@ -43,48 +43,29 @@ def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
 
 
-def _gj_inverse_rows(work_r, work_i, M):
-    """Fully unrolled Gauss-Jordan on split-complex ``work``: nested Python
-    lists ``work[r][c]`` of vreg-shaped arrays (no scatter/dynamic-update —
-    those don't lower in Pallas TC kernels; the unroll is pure VPU math)."""
-    for k in range(M):
-        pr, pi = work_r[k][k], work_i[k][k]
-        den = pr * pr + pi * pi
-        inv_r, inv_i = pr / den, -pi / den
-        row_r = [None] * (2 * M)
-        row_i = [None] * (2 * M)
-        for c in range(2 * M):
-            row_r[c], row_i[c] = _cmul(work_r[k][c], work_i[k][c], inv_r, inv_i)
-        for r in range(M):
-            if r == k:
-                continue
-            cr, ci = work_r[r][k], work_i[r][k]
-            for c in range(2 * M):
-                dr, di = _cmul(row_r[c], row_i[c], cr, ci)
-                work_r[r][c] = work_r[r][c] - dr
-                work_i[r][c] = work_i[r][c] - di
-        work_r[k] = row_r
-        work_i[k] = row_i
-    return work_r, work_i
-
-
 def _mvdr_kernel(
     zr_ref, zi_ref, gate_ref, ar_ref, ai_ref,  # inputs
     yr_ref, yi_ref,  # outputs
-    Rr, Ri, Wr, Wi,  # scratch: covariance + inverse, [M, M, 8, Ft]
+    Rr, Ri, Ur, Ui,  # scratch: lower-tri covariance [M, M, 8, Ft]; held solve vector [M, 8, Ft]
     *, Tc: int, M: int, alpha_v: float, diag: float,
 ):
+    """Per-frame work: gated hermitian rank-1 update of the lower triangle of
+    R, then u = (R + diag I)^-1 a via an unrolled LDL^H factorisation and two
+    triangular solves — O(M^3/6) complex muls and no sqrt, versus O(M^3) for
+    a full Gauss-Jordan inverse, and only the M-vector u (not the M x M
+    inverse) is carried for gate-off frames.  Finally
+    y = u^H z / conj(a^H u)  ==  w^H z with w = R^-1 a / (a^H R^-1 a)."""
     beta = 1.0 - alpha_v
 
-    @pl.when(pl.program_id(2) == 0)
+    @pl.when(pl.program_id(1) == 0)
     def _init():
         Rr[...] = jnp.zeros_like(Rr)
         Ri[...] = jnp.zeros_like(Ri)
-        Wr[...] = jnp.zeros_like(Wr)
-        Wi[...] = jnp.zeros_like(Wi)
+        Ur[...] = jnp.zeros_like(Ur)
+        Ui[...] = jnp.zeros_like(Ui)
 
-    ar = ar_ref[...]  # steering [M, Ft] — broadcasts over the sublane axis
-    ai = ai_ref[...]
+    ar = ar_ref[0]  # steering [M, 8, Ft] (materialised per packed element)
+    ai = ai_ref[0]
 
     def frame(t, _):
         zr = zr_ref[0, t]  # [M, 8, Ft]
@@ -92,56 +73,81 @@ def _mvdr_kernel(
         g = gate_ref[0, t]  # [8, Ft] in {0,1}: update noise covariance?
         upd = g > 0.5
 
-        # --- gated rank-1 covariance update (mvdr_step:82-88) --------------
-        for a_ in range(M):
-            for b_ in range(M):
-                # z_a * conj(z_b)
-                outr = zr[a_] * zr[b_] + zi[a_] * zi[b_]
-                outi = zi[a_] * zr[b_] - zr[a_] * zi[b_]
-                Rr[a_, b_] = jnp.where(upd, alpha_v * Rr[a_, b_] + beta * outr, Rr[a_, b_])
-                Ri[a_, b_] = jnp.where(upd, alpha_v * Ri[a_, b_] + beta * outi, Ri[a_, b_])
+        # --- gated hermitian rank-1 update, lower triangle only ------------
+        # (mvdr_step:82-88; R[i][j] for i>j, real diagonal in Rr[j][j])
+        for i in range(M):
+            for j in range(i + 1):
+                if i == j:
+                    out = zr[i] * zr[i] + zi[i] * zi[i]
+                    Rr[i, i] = jnp.where(upd, alpha_v * Rr[i, i] + beta * out, Rr[i, i])
+                else:
+                    outr = zr[i] * zr[j] + zi[i] * zi[j]
+                    outi = zi[i] * zr[j] - zr[i] * zi[j]
+                    Rr[i, j] = jnp.where(upd, alpha_v * Rr[i, j] + beta * outr, Rr[i, j])
+                    Ri[i, j] = jnp.where(upd, alpha_v * Ri[i, j] + beta * outi, Ri[i, j])
 
-        # --- inverse of (R + diag I), held when not updating ---------------
+        # --- LDL^H of A = R + diag I (unit lower L, real diagonal D) --------
+        Lr = [[None] * M for _ in range(M)]
+        Li = [[None] * M for _ in range(M)]
+        D = [None] * M
+        Dinv = [None] * M
+        for j in range(M):
+            d = Rr[j, j] + diag
+            for k in range(j):
+                d = d - (Lr[j][k] * Lr[j][k] + Li[j][k] * Li[j][k]) * D[k]
+            D[j] = d
+            Dinv[j] = 1.0 / d
+            for i in range(j + 1, M):
+                sr, si = Rr[i, j], Ri[i, j]
+                for k in range(j):
+                    # L[i][k] * conj(L[j][k]) * D[k]
+                    tr, ti = _cmul(Lr[i][k], Li[i][k], Lr[j][k], -Li[j][k])
+                    sr, si = sr - tr * D[k], si - ti * D[k]
+                Lr[i][j] = sr * Dinv[j]
+                Li[i][j] = si * Dinv[j]
+
+        # --- solve L v = a (unit diag), v /= D, L^H u = v -------------------
+        vr = [None] * M
+        vi = [None] * M
+        for i in range(M):
+            sr, si = ar[i], ai[i]
+            for k in range(i):
+                tr, ti = _cmul(Lr[i][k], Li[i][k], vr[k], vi[k])
+                sr, si = sr - tr, si - ti
+            vr[i], vi[i] = sr, si
+        for i in range(M):
+            vr[i], vi[i] = vr[i] * Dinv[i], vi[i] * Dinv[i]
+        ur = [None] * M
+        ui = [None] * M
+        for i in range(M - 1, -1, -1):
+            sr, si = vr[i], vi[i]
+            for k in range(i + 1, M):
+                # conj(L[k][i]) * u[k]
+                tr, ti = _cmul(Lr[k][i], -Li[k][i], ur[k], ui[k])
+                sr, si = sr - tr, si - ti
+            ur[i], ui[i] = sr, si
+
+        # --- hold u for gate-off frames (the reference holds Rvv_inv) ------
+        for i in range(M):
+            Ur[i] = jnp.where(upd, ur[i], Ur[i])
+            Ui[i] = jnp.where(upd, ui[i], Ui[i])
+
+        # --- y = w^H z with w = u / (a^H u) (mvdr_step:90-91) --------------
         shp = g.shape
-        zero = jnp.zeros(shp, dtype=jnp.float32)
-        one = jnp.ones(shp, dtype=jnp.float32)
-        work_r = [
-            [Rr[r, c] + (diag if r == c else 0.0) for c in range(M)]
-            + [one if r == c else zero for c in range(M)]
-            for r in range(M)
-        ]  # [M][2M] of [8, Ft]
-        work_i = [[Ri[r, c] for c in range(M)] + [zero] * M for r in range(M)]
-        work_r, work_i = _gj_inverse_rows(work_r, work_i, M)
-        for r in range(M):
-            for c in range(M):
-                Wr[r, c] = jnp.where(upd, work_r[r][M + c], Wr[r, c])
-                Wi[r, c] = jnp.where(upd, work_i[r][M + c], Wi[r, c])
-
-        # --- w = R^-1 a / (a^H R^-1 a); y = w^H z (mvdr_step:90-91) --------
-        num_r = [None] * M
-        num_i = [None] * M
-        for r in range(M):
-            sr = jnp.zeros(shp, dtype=jnp.float32)
-            si = jnp.zeros(shp, dtype=jnp.float32)
-            for c in range(M):
-                tr, ti = _cmul(Wr[r, c], Wi[r, c], ar[c], ai[c])
-                sr, si = sr + tr, si + ti
-            num_r[r], num_i[r] = sr, si
         den_r = jnp.zeros(shp, dtype=jnp.float32)
         den_i = jnp.zeros(shp, dtype=jnp.float32)
         for r in range(M):
-            tr, ti = _cmul(ar[r], -ai[r], num_r[r], num_i[r])  # conj(a) * num
+            tr, ti = _cmul(ar[r], -ai[r], Ur[r], Ui[r])  # conj(a) * u
             den_r, den_i = den_r + tr, den_i + ti
-        dmag = den_r * den_r + den_i * den_i
-        dinv_r, dinv_i = den_r / dmag, -den_i / dmag
-
-        yr = jnp.zeros(shp, dtype=jnp.float32)
-        yi = jnp.zeros(shp, dtype=jnp.float32)
+        # w^H z = conj(u/den)^T z = (u^H z) / conj(den)
+        nr = jnp.zeros(shp, dtype=jnp.float32)
+        ni = jnp.zeros(shp, dtype=jnp.float32)
         for r in range(M):
-            wr_, wi_ = _cmul(num_r[r], num_i[r], dinv_r, dinv_i)
-            # conj(w) * z
-            tr, ti = _cmul(wr_, -wi_, zr[r], zi[r])
-            yr, yi = yr + tr, yi + ti
+            tr, ti = _cmul(Ur[r], -Ui[r], zr[r], zi[r])  # conj(u) * z
+            nr, ni = nr + tr, ni + ti
+        dmag = den_r * den_r + den_i * den_i
+        cinv_r, cinv_i = den_r / dmag, den_i / dmag  # 1 / conj(den)
+        yr, yi = _cmul(nr, ni, cinv_r, cinv_i)
         yr_ref[0, t] = yr
         yi_ref[0, t] = yi
         return 0
@@ -161,65 +167,73 @@ def pallas_mvdr_scan(
     steer: [F, M] complex steering vectors.
     Returns Y [T, B, F] complex64.  Matches ``mvdr_step`` without MCRA.
 
-    B pads up to a multiple of 8 (sublane tile), F to ``f_tile`` (lanes),
-    T to ``t_chunk`` (frame chunks streamed through the innermost grid dim
-    with the covariance carry resident in VMEM scratch).
+    The flattened (batch x bin) axis packs jointly into (8-sublane x
+    ``f_tile``-lane) vreg tiles — padding B and F separately to the tile
+    sizes wastes ~half the lanes at F=129 (129 -> 256); joint packing pads
+    B*F to one tile multiple.  T pads to ``t_chunk`` (frame chunks streamed
+    through the innermost grid dim, covariance carry resident in VMEM).
     """
     T, B, F, M = Z.shape
-    Fp = int(np.ceil(F / f_tile) * f_tile)
-    Bp = int(np.ceil(B / _SUB) * _SUB)
+    cell = _SUB * f_tile  # elements per grid cell
+    E = B * F
+    Ep = int(np.ceil(E / cell) * cell)
+    n_tiles = Ep // cell
     Tp = int(np.ceil(T / t_chunk) * t_chunk)
-    # padded frames carry gate=0 and z=0: covariance/inverse are held and the
-    # padded outputs (sliced off below) stay finite
-    Zp = jnp.pad(Z, [(0, Tp - T), (0, Bp - B), (0, Fp - F), (0, 0)])
-    gatep = jnp.pad(gate, [(0, Tp - T), (0, Bp - B), (0, Fp - F)])
-    steerp = jnp.pad(steer, [(0, Fp - F), (0, 0)], constant_values=1.0)
 
-    # split-complex; batch tile on the sublane axis, bins on the lane axis:
-    # [B/8, T, M, 8, Fp]
-    def to_tiles(x):  # [T, B, F, M] real -> [B/8, T, M, 8, Fp]
-        x = jnp.transpose(x, (1, 0, 3, 2))  # [B, T, M, F]
-        x = x.reshape(Bp // _SUB, _SUB, Tp, M, Fp)
-        return jnp.transpose(x, (0, 2, 3, 1, 4)).astype(jnp.float32)
+    # padded elements carry gate=0 and z=0: their (nan) outputs are sliced
+    # off below and never contaminate real lanes (all ops are elementwise
+    # across the tile)
+    def to_tiles(x, depth_axis_m: bool):
+        # [T, B, F(, M)] real -> [n_tiles, Tp, (M,) 8, f_tile]
+        x = x.reshape(T, E, M) if depth_axis_m else x.reshape(T, E)
+        pad = [(0, Tp - T), (0, Ep - E)] + ([(0, 0)] if depth_axis_m else [])
+        x = jnp.pad(x, pad)
+        if depth_axis_m:
+            x = x.reshape(Tp, n_tiles, _SUB, f_tile, M)
+            return jnp.transpose(x, (1, 0, 4, 2, 3)).astype(jnp.float32)
+        x = x.reshape(Tp, n_tiles, _SUB, f_tile)
+        return jnp.transpose(x, (1, 0, 2, 3)).astype(jnp.float32)
 
-    zr = to_tiles(jnp.real(Zp))
-    zi = to_tiles(jnp.imag(Zp))
-    ar = jnp.moveaxis(jnp.real(steerp), -1, -2).astype(jnp.float32)  # [M, Fp]
-    ai = jnp.moveaxis(jnp.imag(steerp), -1, -2).astype(jnp.float32)
-    g = jnp.transpose(
-        jnp.moveaxis(gatep, 0, 1).reshape(Bp // _SUB, _SUB, Tp, Fp), (0, 2, 1, 3)
-    ).astype(jnp.float32)  # [B/8, T, 8, Fp]
+    zr = to_tiles(jnp.real(Z), True)
+    zi = to_tiles(jnp.imag(Z), True)
+    g = to_tiles(gate, False)
+    # steering varies per bin -> materialise per (batch, bin) element
+    se = jnp.broadcast_to(steer[None], (B, F, M)).reshape(E, M)
+    se = jnp.pad(se, [(0, Ep - E), (0, 0)], constant_values=1.0)
+    se = jnp.transpose(se.reshape(n_tiles, _SUB, f_tile, M), (0, 3, 1, 2))
+    ar = jnp.real(se).astype(jnp.float32)  # [n_tiles, M, 8, f_tile]
+    ai = jnp.imag(se).astype(jnp.float32)
 
-    grid = (Bp // _SUB, Fp // f_tile, Tp // t_chunk)  # t innermost: scratch carries
+    grid = (n_tiles, Tp // t_chunk)  # t innermost: scratch carries across chunks
 
     kern = partial(_mvdr_kernel, Tc=t_chunk, M=M, alpha_v=alpha_v, diag=diag)
     yr, yi = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, t_chunk, M, _SUB, f_tile), lambda b, f, t: (b, t, 0, 0, f), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_chunk, M, _SUB, f_tile), lambda b, f, t: (b, t, 0, 0, f), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_chunk, _SUB, f_tile), lambda b, f, t: (b, t, 0, f), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, f_tile), lambda b, f, t: (0, f), memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, f_tile), lambda b, f, t: (0, f), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_chunk, M, _SUB, f_tile), lambda n, t: (n, t, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_chunk, M, _SUB, f_tile), lambda n, t: (n, t, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_chunk, _SUB, f_tile), lambda n, t: (n, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, _SUB, f_tile), lambda n, t: (n, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, M, _SUB, f_tile), lambda n, t: (n, 0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, t_chunk, _SUB, f_tile), lambda b, f, t: (b, t, 0, f), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_chunk, _SUB, f_tile), lambda b, f, t: (b, t, 0, f), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_chunk, _SUB, f_tile), lambda n, t: (n, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_chunk, _SUB, f_tile), lambda n, t: (n, t, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Bp // _SUB, Tp, _SUB, Fp), jnp.float32),
-            jax.ShapeDtypeStruct((Bp // _SUB, Tp, _SUB, Fp), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, Tp, _SUB, f_tile), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, Tp, _SUB, f_tile), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((M, M, _SUB, f_tile), jnp.float32),
             pltpu.VMEM((M, M, _SUB, f_tile), jnp.float32),
-            pltpu.VMEM((M, M, _SUB, f_tile), jnp.float32),
-            pltpu.VMEM((M, M, _SUB, f_tile), jnp.float32),
+            pltpu.VMEM((M, _SUB, f_tile), jnp.float32),
+            pltpu.VMEM((M, _SUB, f_tile), jnp.float32),
         ],
         interpret=interpret,
     )(zr, zi, g, ar, ai)
 
-    # [B/8, T, 8, Fp] -> [T, B, F]
-    Y = (yr + 1j * yi).transpose(1, 0, 2, 3).reshape(Tp, Bp, Fp)
-    return Y[:T, :B, :F].astype(Z.dtype)
+    # [n_tiles, Tp, 8, f_tile] -> [T, B, F]
+    Y = (yr + 1j * yi).transpose(1, 0, 2, 3).reshape(Tp, Ep)
+    return Y[:T, :E].reshape(T, B, F).astype(Z.dtype)

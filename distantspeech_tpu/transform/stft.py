@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -72,14 +73,53 @@ class StftConfig:
         return self.hop / self.w0
 
 
+def _dft_matrices(cfg: StftConfig) -> Tuple[np.ndarray, np.ndarray]:
+    """Windowed forward rDFT as two real matrices: Y = f @ (C + iS).
+
+    The window is folded in, so the whole analysis frame op is ONE real
+    matmul pair — on TPU this runs on the MXU, an order of magnitude faster
+    than XLA's small-size batched FFT (measured: the rfft was the single
+    most expensive op of the flagship pipeline).
+    """
+    n = np.arange(cfg.n_fft)[:, None]
+    k = np.arange(cfg.half_bin)[None, :]
+    ang = -2.0 * np.pi * n * k / cfg.n_fft
+    w = cfg.window[:, None]
+    return np.cos(ang) * w, np.sin(ang) * w
+
+
+def _idft_matrices(cfg: StftConfig) -> Tuple[np.ndarray, np.ndarray]:
+    """Windowed inverse rDFT: frames = Yr @ A + Yi @ B (weights for the
+    hermitian-symmetric bins, 1/N scale, and the synthesis window folded in).
+    """
+    k = np.arange(cfg.half_bin)[:, None]
+    n = np.arange(cfg.n_fft)[None, :]
+    ang = 2.0 * np.pi * k * n / cfg.n_fft
+    scale = np.full((cfg.half_bin, 1), 2.0)
+    scale[0] = 1.0
+    if cfg.n_fft % 2 == 0:
+        scale[-1] = 1.0
+    w = cfg.window[None, :]
+    A = np.cos(ang) * scale * w / cfg.n_fft
+    B = -np.sin(ang) * scale * w / cfg.n_fft
+    return A, B
+
+
 def stft_frames(x: jnp.ndarray, cfg: StftConfig) -> jnp.ndarray:
     """Left-aligned STFT of ``x`` with no implicit padding.
 
     x: [..., samples] -> [..., T, half_bin] with T = 1 + (samples - n_fft)//hop.
     """
     frames = frame_signal(x, cfg.n_fft, cfg.hop)
-    win = jnp.asarray(cfg.window, dtype=frames.dtype)
-    return jnp.fft.rfft(frames * win, axis=-1)
+    C, S = _dft_matrices(cfg)
+    # one matmul for both real and imaginary parts: the frames tensor (the
+    # big operand) is read once.  precision='highest' keeps the f32 MXU path
+    # at ~1e-7 relative error; the default bf16 pass would be ~1e-3 and
+    # break 1e-4 parity.
+    CS = jnp.asarray(np.concatenate([C, S], axis=1), dtype=frames.dtype)
+    Y = jnp.matmul(frames, CS, precision="highest")
+    F = cfg.half_bin
+    return jax.lax.complex(Y[..., :F], Y[..., F:])
 
 
 def istft_frames(Y: jnp.ndarray, cfg: StftConfig) -> jnp.ndarray:
@@ -87,9 +127,12 @@ def istft_frames(Y: jnp.ndarray, cfg: StftConfig) -> jnp.ndarray:
 
     Y: [..., T, half_bin] -> [..., n_fft + hop*(T-1)].
     """
-    frames = jnp.fft.irfft(Y, n=cfg.n_fft, axis=-1)
-    win = jnp.asarray(cfg.window, dtype=frames.dtype)
-    return overlap_add(frames * win, cfg.hop)
+    A, B = _idft_matrices(cfg)
+    Yr = jnp.real(Y)
+    AB = jnp.asarray(np.concatenate([A, B], axis=0), dtype=Yr.dtype)
+    Yri = jnp.concatenate([Yr, jnp.imag(Y)], axis=-1)
+    frames = jnp.matmul(Yri, AB, precision="highest")
+    return overlap_add(frames, cfg.hop)
 
 
 def analysis(x: jnp.ndarray, cfg: StftConfig) -> jnp.ndarray:
