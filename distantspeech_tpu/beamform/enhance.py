@@ -88,9 +88,8 @@ def enhance_scan_pallas(
 
     1. MCRA over frames — cheap elementwise jnp scan (cross-bin smoothing
        halo kept out of the kernel);
-    2. the covariance/inverse frame loop — the fused sublane-tiled Pallas
-       kernel (``ops.pallas_mvdr``), the actual hot spot;
-    3. OM-LSA gain — another cheap elementwise scan.
+    2. the covariance/inverse frame loop AND the per-bin OM-LSA gain
+       recursion — one fused vreg-tiled Pallas kernel (``ops.pallas_mvdr``).
 
     Zt: [T, B, F, M] (exactly 4-D; the kernel's tiling wants a real batch
     axis).  Returns Y [T, B, F].  Numerics match ``enhance_scan`` to float32
@@ -104,24 +103,10 @@ def enhance_scan_pallas(
     lam, p = mcra_run(mv.mcra, power)
     gate = (p < mv.p_vad).astype(jnp.float32)
 
-    Yf = pallas_mvdr_scan(
-        Zt, gate, steer, alpha_v=mv.alpha_v, diag=mv.diag, interpret=interpret
-    )  # [T, B, F]
-
-    lam = jnp.maximum(lam, 1e-10)
-    gamma = jnp.abs(Yf) ** 2 / lam
-
-    def gain_step(carry, xs):
-        G_H1_prev, gamma_prev = carry
-        gamma_t, p_t = xs
-        xi = cfg.alpha_xi * G_H1_prev**2 * gamma_prev + (1.0 - cfg.alpha_xi) * jnp.maximum(gamma_t - 1.0, 0.0)
-        G_H1 = xi / (1.0 + xi)
-        G = jnp.clip(G_H1**p_t * cfg.gmin ** (1.0 - p_t), cfg.gmin, 1.0)
-        return (G_H1, gamma_t), G
-
-    ones = jnp.ones(Zt.shape[1:-1], dtype=gamma.dtype)
-    _, G = jax.lax.scan(gain_step, (ones, ones), (gamma, p))
-    return Yf * G
+    return pallas_mvdr_scan(
+        Zt, gate, steer, alpha_v=mv.alpha_v, diag=mv.diag, interpret=interpret,
+        p=p, lam=lam, alpha_xi=cfg.alpha_xi, gmin=cfg.gmin,
+    )  # [T, B, F], OM-LSA gain fused into the kernel
 
 
 def enhance_process(

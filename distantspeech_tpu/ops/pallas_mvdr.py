@@ -43,38 +43,22 @@ def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
 
 
-def _mvdr_kernel(
-    zr_ref, zi_ref, gate_ref, ar_ref, ai_ref,  # inputs
-    yr_ref, yi_ref,  # outputs
-    Rr, Ri, Ur, Ui,  # scratch: lower-tri covariance [M, M, 8, Ft]; held solve vector [M, 8, Ft]
-    *, Tc: int, M: int, alpha_v: float, diag: float,
-):
-    """Per-frame work: gated hermitian rank-1 update of the lower triangle of
-    R, then u = (R + diag I)^-1 a via an unrolled LDL^H factorisation and two
-    triangular solves — O(M^3/6) complex muls and no sqrt, versus O(M^3) for
-    a full Gauss-Jordan inverse, and only the M-vector u (not the M x M
-    inverse) is carried for gate-off frames.  Finally
-    y = u^H z / conj(a^H u)  ==  w^H z with w = R^-1 a / (a^H R^-1 a)."""
+def _mvdr_frame(zr, zi, g, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag):
+    """One MVDR frame on vreg tiles: gated hermitian rank-1 update of the
+    lower triangle of R, then u = (R + diag I)^-1 a via an unrolled LDL^H
+    factorisation and two triangular solves — O(M^3/6) complex muls and no
+    sqrt, versus O(M^3) for a full Gauss-Jordan inverse, and only the
+    M-vector u (not the M x M inverse) is carried for gate-off frames.
+    Returns y = u^H z / conj(a^H u)  ==  w^H z with w = R^-1 a / (a^H R^-1 a).
+
+    zr/zi: [M, 8, Ft]; g: [8, Ft]; ar/ai: [M, 8, Ft]; scratch refs Rr/Ri
+    [M, M, 8, Ft], Ur/Ui [M, 8, Ft]."""
     beta = 1.0 - alpha_v
+    upd = g > 0.5
 
-    @pl.when(pl.program_id(1) == 0)
-    def _init():
-        Rr[...] = jnp.zeros_like(Rr)
-        Ri[...] = jnp.zeros_like(Ri)
-        Ur[...] = jnp.zeros_like(Ur)
-        Ui[...] = jnp.zeros_like(Ui)
-
-    ar = ar_ref[0]  # steering [M, 8, Ft] (materialised per packed element)
-    ai = ai_ref[0]
-
-    def frame(t, _):
-        zr = zr_ref[0, t]  # [M, 8, Ft]
-        zi = zi_ref[0, t]
-        g = gate_ref[0, t]  # [8, Ft] in {0,1}: update noise covariance?
-        upd = g > 0.5
-
-        # --- gated hermitian rank-1 update, lower triangle only ------------
-        # (mvdr_step:82-88; R[i][j] for i>j, real diagonal in Rr[j][j])
+    # --- gated hermitian rank-1 update, lower triangle only ----------------
+    # (mvdr_step:82-88; R[i][j] for i>j, real diagonal in Rr[j][j])
+    if True:
         for i in range(M):
             for j in range(i + 1):
                 if i == j:
@@ -147,9 +131,76 @@ def _mvdr_kernel(
             nr, ni = nr + tr, ni + ti
         dmag = den_r * den_r + den_i * den_i
         cinv_r, cinv_i = den_r / dmag, den_i / dmag  # 1 / conj(den)
-        yr, yi = _cmul(nr, ni, cinv_r, cinv_i)
+        return _cmul(nr, ni, cinv_r, cinv_i)
+
+
+def _mvdr_kernel(
+    zr_ref, zi_ref, gate_ref, ar_ref, ai_ref,  # inputs
+    yr_ref, yi_ref,  # outputs
+    Rr, Ri, Ur, Ui,  # scratch: lower-tri covariance [M, M, 8, Ft]; held solve vector [M, 8, Ft]
+    *, Tc: int, M: int, alpha_v: float, diag: float,
+):
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        Rr[...] = jnp.zeros_like(Rr)
+        Ri[...] = jnp.zeros_like(Ri)
+        Ur[...] = jnp.zeros_like(Ur)
+        Ui[...] = jnp.zeros_like(Ui)
+
+    ar = ar_ref[0]  # steering [M, 8, Ft] (materialised per packed element)
+    ai = ai_ref[0]
+
+    def frame(t, _):
+        yr, yi = _mvdr_frame(
+            zr_ref[0, t], zi_ref[0, t], gate_ref[0, t], ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag
+        )
         yr_ref[0, t] = yr
         yi_ref[0, t] = yi
+        return 0
+
+    jax.lax.fori_loop(0, Tc, frame, 0)
+
+
+def _mvdr_omlsa_kernel(
+    zr_ref, zi_ref, gate_ref, p_ref, lam_ref, ar_ref, ai_ref,  # inputs
+    yr_ref, yi_ref,  # outputs
+    Rr, Ri, Ur, Ui, Gh, Gam,  # scratch (+ OM-LSA gain carry [8, Ft] x2)
+    *, Tc: int, M: int, alpha_v: float, diag: float, alpha_xi: float, gmin: float,
+):
+    """The full flagship frame: MVDR beamform + decision-directed OM-LSA
+    gain (enhance_step, beamform/enhance.py; oracle mcspp_base.py:140-156).
+    p and lambda_d come from the MCRA pre-scan; the gain recursion's carry
+    (G_H1, gamma) lives in scratch like the covariance."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        Rr[...] = jnp.zeros_like(Rr)
+        Ri[...] = jnp.zeros_like(Ri)
+        Ur[...] = jnp.zeros_like(Ur)
+        Ui[...] = jnp.zeros_like(Ui)
+        Gh[...] = jnp.ones_like(Gh)
+        Gam[...] = jnp.ones_like(Gam)
+
+    ar = ar_ref[0]
+    ai = ai_ref[0]
+    log_gmin = float(np.log(gmin))
+
+    def frame(t, _):
+        yr, yi = _mvdr_frame(
+            zr_ref[0, t], zi_ref[0, t], gate_ref[0, t], ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag
+        )
+        p = p_ref[0, t]  # [8, Ft]
+        lam = jnp.maximum(lam_ref[0, t], 1e-10)
+        gamma = (yr * yr + yi * yi) / lam
+        xi = alpha_xi * Gh[...] ** 2 * Gam[...] + (1.0 - alpha_xi) * jnp.maximum(gamma - 1.0, 0.0)
+        G_H1 = xi / (1.0 + xi)
+        # G = clip(G_H1^p * gmin^(1-p), gmin, 1) via exp/log (no pow in TC)
+        logG = p * jnp.log(jnp.maximum(G_H1, 1e-30)) + (1.0 - p) * log_gmin
+        G = jnp.clip(jnp.exp(logG), gmin, 1.0)
+        Gh[...] = G_H1
+        Gam[...] = gamma
+        yr_ref[0, t] = yr * G
+        yi_ref[0, t] = yi * G
         return 0
 
     jax.lax.fori_loop(0, Tc, frame, 0)
@@ -159,13 +210,19 @@ def pallas_mvdr_scan(
     Z: jnp.ndarray, gate: jnp.ndarray, steer: jnp.ndarray,
     alpha_v: float = 0.9998, diag: float = 1e-6,
     f_tile: int = 128, t_chunk: int = 64, interpret: bool = False,
+    p: jnp.ndarray = None, lam: jnp.ndarray = None,
+    alpha_xi: float = 0.92, gmin: float = 0.0631,
 ) -> jnp.ndarray:
-    """Fused MVDR frame loop.
+    """Fused MVDR frame loop, optionally with the OM-LSA postfilter fused in.
 
     Z: [T, B, F, M] complex64 spectra; gate: [T, B, F] float (1 = update the
     noise covariance this frame, the ``p < p_vad`` MCRA decision);
     steer: [F, M] complex steering vectors.
     Returns Y [T, B, F] complex64.  Matches ``mvdr_step`` without MCRA.
+
+    With ``p`` and ``lam`` (the MCRA speech-presence and noise-PSD tracks,
+    [T, B, F]) the kernel also applies the decision-directed OM-LSA gain per
+    frame (enhance_step semantics) and returns the postfiltered spectrum.
 
     The flattened (batch x bin) axis packs jointly into (8-sublane x
     ``f_tile``-lane) vreg tiles — padding B and F separately to the tile
@@ -206,33 +263,44 @@ def pallas_mvdr_scan(
 
     grid = (n_tiles, Tp // t_chunk)  # t innermost: scratch carries across chunks
 
-    kern = partial(_mvdr_kernel, Tc=t_chunk, M=M, alpha_v=alpha_v, diag=diag)
+    fused = p is not None
+    zspec = pl.BlockSpec((1, t_chunk, M, _SUB, f_tile), lambda n, t: (n, t, 0, 0, 0), memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((1, t_chunk, _SUB, f_tile), lambda n, t: (n, t, 0, 0), memory_space=pltpu.VMEM)
+    aspec = pl.BlockSpec((1, M, _SUB, f_tile), lambda n, t: (n, 0, 0, 0), memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((M, M, _SUB, f_tile), jnp.float32),
+        pltpu.VMEM((M, M, _SUB, f_tile), jnp.float32),
+        pltpu.VMEM((M, _SUB, f_tile), jnp.float32),
+        pltpu.VMEM((M, _SUB, f_tile), jnp.float32),
+    ]
+    if fused:
+        kern = partial(
+            _mvdr_omlsa_kernel, Tc=t_chunk, M=M, alpha_v=alpha_v, diag=diag,
+            alpha_xi=alpha_xi, gmin=gmin,
+        )
+        in_specs = [zspec, zspec, tspec, tspec, tspec, aspec, aspec]
+        operands = (zr, zi, g, to_tiles(p, False), to_tiles(lam, False), None, None)
+        scratch += [
+            pltpu.VMEM((_SUB, f_tile), jnp.float32),
+            pltpu.VMEM((_SUB, f_tile), jnp.float32),
+        ]
+    else:
+        kern = partial(_mvdr_kernel, Tc=t_chunk, M=M, alpha_v=alpha_v, diag=diag)
+        in_specs = [zspec, zspec, tspec, aspec, aspec]
+        operands = (zr, zi, g, None, None)
+
     yr, yi = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, t_chunk, M, _SUB, f_tile), lambda n, t: (n, t, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_chunk, M, _SUB, f_tile), lambda n, t: (n, t, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_chunk, _SUB, f_tile), lambda n, t: (n, t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, _SUB, f_tile), lambda n, t: (n, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, M, _SUB, f_tile), lambda n, t: (n, 0, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, t_chunk, _SUB, f_tile), lambda n, t: (n, t, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, t_chunk, _SUB, f_tile), lambda n, t: (n, t, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
+        out_specs=[tspec, tspec],
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, Tp, _SUB, f_tile), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, Tp, _SUB, f_tile), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((M, M, _SUB, f_tile), jnp.float32),
-            pltpu.VMEM((M, M, _SUB, f_tile), jnp.float32),
-            pltpu.VMEM((M, _SUB, f_tile), jnp.float32),
-            pltpu.VMEM((M, _SUB, f_tile), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(zr, zi, g, ar, ai)
+    )(*operands[:-2], ar, ai)
 
     # [n_tiles, Tp, 8, f_tile] -> [T, B, F]
     Y = (yr + 1j * yi).transpose(1, 0, 2, 3).reshape(Tp, Ep)
