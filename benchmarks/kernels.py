@@ -30,16 +30,19 @@ def _sync(y):
     np.asarray(jax.device_get(jnp.ravel(jnp.abs(y) if jnp.iscomplexobj(y) else y)[:8]))
 
 
-def _measure(fn, *args, iters=12):
+def _measure(fn, *args, iters=40):
+    """Slope method: per-call = (t(n2) - t(n1)) / (n2 - n1), cancelling the
+    dispatch and device->host fetch constants (bench.py does the same)."""
     fn(*args)
     _sync(fn(*args))
+    n1 = 4
     t0 = time.perf_counter()
-    for _ in range(2):
+    for _ in range(n1):
         y = fn(*args)
     _sync(y)
     t1 = time.perf_counter() - t0
     t0 = time.perf_counter()
-    for _ in range(2 + iters):
+    for _ in range(n1 + iters):
         y = fn(*args)
     _sync(y)
     t2 = time.perf_counter() - t0
@@ -80,12 +83,15 @@ def bench_cov_inverse():
     rng = np.random.default_rng(1)
     A = rng.standard_normal((B, F, M, M)) + 1j * rng.standard_normal((B, F, M, M))
     A = A @ np.conj(np.swapaxes(A, -1, -2)) + 10 * np.eye(M)
-    Aj = jnp.asarray(A.astype(np.complex64))
-    f = jax.jit(gauss_jordan_inv)
-    per = _measure(f, Aj)
+    # complex device transfer is UNIMPLEMENTED over the axon tunnel — ship
+    # the real/imag planes and combine inside jit
+    Ar = jnp.asarray(np.real(A).astype(np.float32))
+    Ai = jnp.asarray(np.imag(A).astype(np.float32))
+    f = jax.jit(lambda ar, ai: gauss_jordan_inv(jax.lax.complex(ar, ai)))
+    per = _measure(f, Ar, Ai)
     n = B * F
     flops = n * (8.0 / 3.0) * (2 * M) ** 3  # complex GJ ~ 4x real mults
-    bytes_ = Aj.size * 8 * 2
+    bytes_ = A.size * 8 * 2
     return {
         "kernel": "gauss_jordan_inv_8x8c64",
         "per_call_ms": per * 1e3,
@@ -103,17 +109,88 @@ def bench_subband_rls():
 
     cfg = SubbandAfConfig(num_bands=512, filter_len=4)
     B = 16
-    st = subband_rls_init(cfg, (B,), cdtype=jnp.complex64)
     rng = np.random.default_rng(2)
-    x = jnp.asarray((rng.standard_normal((B, cfg.half_bin)) + 1j * rng.standard_normal((B, cfg.half_bin))).astype(np.complex64))
-    d = jnp.asarray((rng.standard_normal((B, cfg.half_bin)) + 1j * rng.standard_normal((B, cfg.half_bin))).astype(np.complex64))
-    f = jax.jit(lambda s, a, b: subband_rls_step(cfg, s, a, b)[0].P)
-    per = _measure(f, st, x, d)
+    xr = jnp.asarray(rng.standard_normal((2, B, cfg.half_bin)).astype(np.float32))
+    dr = jnp.asarray(rng.standard_normal((2, B, cfg.half_bin)).astype(np.float32))
+
+    @jax.jit
+    def f(xr, dr):
+        st = subband_rls_init(cfg, (B,), cdtype=jnp.complex64)
+        x = jax.lax.complex(xr[0], xr[1])
+        d = jax.lax.complex(dr[0], dr[1])
+        return subband_rls_step(cfg, st, x, d)[0].P
+
+    per = _measure(f, xr, dr)
     n = B * cfg.half_bin
     return {
         "kernel": "subband_rls_P_update_4x4c64",
         "per_call_ms": per * 1e3,
         "bins_per_s": n / per,
+    }
+
+
+def bench_pallas_mvdr():
+    """The production MVDR frame-loop kernel (LDL^H + OM-LSA fused)."""
+    import jax
+    import jax.numpy as jnp
+
+    from distantspeech_tpu.ops.pallas_mvdr import pallas_mvdr_scan
+
+    T, B, F, M = 500, 32, 129, 8
+    rng = np.random.default_rng(3)
+    Zr = jnp.asarray(rng.standard_normal((T, B, F, M)).astype(np.float32))
+    Zi = jnp.asarray(rng.standard_normal((T, B, F, M)).astype(np.float32))
+    gate = np.zeros((T, B, F), np.float32)
+    gate[:] = rng.random((T, B, F)) < 0.3
+    gate[0] = 1.0
+    gate = jnp.asarray(gate)
+    p_spp = jnp.asarray(rng.random((T, B, F)).astype(np.float32))
+    lam = jnp.asarray(rng.random((T, B, F)).astype(np.float32) + 0.1)
+    sr = jnp.asarray(rng.standard_normal((F, M)).astype(np.float32))
+    si = jnp.asarray(rng.standard_normal((F, M)).astype(np.float32))
+
+    f = jax.jit(
+        lambda zr, zi, g, pp, lm, ar, ai: pallas_mvdr_scan(
+            zr + 1j * zi, g, ar + 1j * ai, p=pp, lam=lm
+        )
+    )
+    per = _measure(f, Zr, Zi, gate, p_spp, lam, sr, si)
+    # ~1500 f32 ops per (frame, element) incl. rank-1 update, LDL^H, solves, gain
+    lanes = int(np.ceil(B * F / 1024.0)) * 1024
+    flops = 1500.0 * T * lanes
+    vpu_tflops = 2.0  # v5e VPU f32 ballpark
+    return {
+        "kernel": "pallas_mvdr_omlsa_frameloop_8mic",
+        "per_call_ms": per * 1e3,
+        "gflops": flops / per / 1e9,
+        "pct_vpu_roofline": 100.0 * flops / per / (vpu_tflops * 1e12),
+        "frames_per_s": T * B / per,
+    }
+
+
+def bench_dft_matmul():
+    """Windowed-DFT-as-matmul STFT (the production analysis path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from distantspeech_tpu.transform import StftConfig
+    from distantspeech_tpu.transform.stft import stft_frames
+
+    cfg = StftConfig(256, 128)
+    B, C, S = 32, 8, 64000
+    x = jnp.asarray(np.random.default_rng(4).standard_normal((B, C, S)).astype(np.float32))
+    f = jax.jit(lambda a: stft_frames(a, cfg))
+    per = _measure(f, x)
+    T = (S - 256) // 128 + 1
+    frames = B * C * T
+    flops = 2.0 * frames * 256 * 258  # one [.., 256] @ [256, 258] matmul
+    bytes_ = frames * 256 * 4 + frames * 258 * 4
+    return {
+        "kernel": "stft_dft_matmul_256",
+        "per_call_ms": per * 1e3,
+        "tflops": flops / per / 1e12,
+        "hbm_gbps": bytes_ / per / 1e9,
+        "bound": "HBM" if bytes_ / HBM_GBPS / 1e9 > flops / F32_TFLOPS / 1e12 else "MXU",
     }
 
 
@@ -125,7 +202,10 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    for fn in (bench_stft, bench_cov_inverse, bench_subband_rls):
+    benches = [bench_stft, bench_dft_matmul, bench_cov_inverse, bench_subband_rls]
+    if not args.cpu:  # the Pallas kernel needs a real TPU (or interpret mode)
+        benches.append(bench_pallas_mvdr)
+    for fn in benches:
         print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v) for k, v in fn().items()}))
 
 
