@@ -6,8 +6,8 @@ with one driver:
     python -m distantspeech_tpu.runtime.cli input.wav output.wav \
         --pipeline mvdr --mics 4 --array linear --angle 90
 
-Pipelines: fixed (DS/SD), mvdr, enhance (MVDR+OM-LSA), gsc, tdgsc, fdgsc,
-subband_gsc, wpe, kws, binaural.
+Pipelines: fixed (DS/SD), mvdr, enhance (MVDR+OM-LSA), pmwf, gsc, tdgsc,
+fdgsc, subband_gsc, dios_gsc, mccowan (DS + postfilter), wpe, kws, binaural.
 """
 
 from __future__ import annotations
@@ -22,8 +22,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("input", help="input wav (multichannel) or directory of per-channel wavs")
     p.add_argument("output", help="output wav path")
     p.add_argument("--pipeline", default="enhance",
-                   choices=["fixed_ds", "fixed_sd", "mvdr", "enhance", "gsc", "tdgsc",
-                            "fdgsc", "subband_gsc", "wpe", "kws", "binaural"])
+                   choices=["fixed_ds", "fixed_sd", "mvdr", "enhance", "pmwf", "gsc", "tdgsc",
+                            "fdgsc", "subband_gsc", "dios_gsc", "mccowan", "wpe", "kws", "binaural"])
     p.add_argument("--array", default="linear", choices=["linear", "circular"])
     p.add_argument("--mics", type=int, default=None, help="number of mics (default: all channels)")
     p.add_argument("--spacing", type=float, default=0.032, help="spacing / radius in metres")
@@ -89,6 +89,24 @@ def run(args) -> np.ndarray:
         from distantspeech_tpu.beamform import SubbandGscConfig, subband_gsc_process
 
         y, _, _ = subband_gsc_process(xj, geom, angle_rad, SubbandGscConfig(n_mics=M, frame_len=args.frame_len))
+    elif args.pipeline == "pmwf":
+        from distantspeech_tpu.beamform import PmwfConfig, pmwf_process
+
+        y = pmwf_process(xj, geom, PmwfConfig(n_mics=M, frame_len=args.frame_len))
+    elif args.pipeline == "dios_gsc":
+        from distantspeech_tpu.array.alignment import time_alignment_filters
+        from distantspeech_tpu.beamform import DiosGscConfig, dios_gsc_process
+
+        coeffs = time_alignment_filters(geom, angle_rad)  # [M, K]
+        y, _ = dios_gsc_process(xj, jnp.asarray(coeffs.astype(np.float32)), DiosGscConfig(n_mics=M))
+    elif args.pipeline == "mccowan":
+        from distantspeech_tpu.beamform import FixedBeamformerConfig, fixed_beamformer_weights, fixed_process
+        from distantspeech_tpu.postfilter import McCowanConfig, mccowan_process
+
+        fcfg = FixedBeamformerConfig(weight_type="DS")
+        W = fixed_beamformer_weights(geom, angle, fcfg)
+        ds = fixed_process(xj, jnp.asarray(W), fcfg.stft)
+        y = mccowan_process(xj, ds, geom, McCowanConfig(n_fft=args.frame_len, n_mics=M))
     elif args.pipeline == "wpe":
         from distantspeech_tpu.derev import WpeConfig, wpe_process
 

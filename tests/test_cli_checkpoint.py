@@ -12,7 +12,10 @@ from distantspeech_tpu.runtime.cli import build_parser, run
 from distantspeech_tpu.runtime.io import save_audio
 
 
-@pytest.mark.parametrize("pipeline", ["fixed_ds", "mvdr", "enhance", "tdgsc", "binaural"])
+@pytest.mark.parametrize(
+    "pipeline",
+    ["fixed_ds", "mvdr", "enhance", "pmwf", "tdgsc", "dios_gsc", "mccowan", "binaural"],
+)
 def test_cli_pipelines(pipeline):
     rng = np.random.default_rng(0)
     x = rng.standard_normal((256 * 12, 4)) * 0.1
