@@ -8,11 +8,13 @@ bins (and any utterance batch), scanned over the frame axis:
 
 - Ryy rank-1 recursion for every bin at once (adaptivebeamformer.py:86-88);
 - the MCRA VAD gate ``p[k] < 0.4`` becomes a per-bin mask selecting between
-  the updated and held noise covariance / inverse (adaptivebeamformer.py:94-104);
-- the diagonal-loaded inverse is a batched ``jnp.linalg.inv`` over
-  ``[F, M, M]`` (computed for all bins, masked into the carry — cheaper on
-  TPU than data-dependent gathering of "bins to update");
-- MVDR weights w = R^-1 a / (a^H R^-1 a) for all bins in one einsum.
+  the updated and held noise state (adaptivebeamformer.py:94-104; computed
+  for all bins, masked into the carry — cheaper on TPU than data-dependent
+  gathering of "bins to update");
+- the reference's explicit inverse becomes a batched unrolled LDL^H solve
+  against the steering vector (``stats.linalg.ldl_solve``) — MVDR only ever
+  consumes R^-1 a, so the carried state is the M-vector u, not M x M;
+- MVDR output w^H Z = (u^H Z) / conj(a^H u) for all bins in one einsum.
 
 Like the reference, covariances start at zero and the first frame's MCRA
 p == p_min < 0.4 updates every bin, so no NaN weights ever reach the output.
@@ -31,7 +33,7 @@ from distantspeech_tpu.array.geometry import ArrayGeometry
 from distantspeech_tpu.array.steering import steering_vector
 from distantspeech_tpu.noise.mcra import McraConfig, McraState, mcra_init, mcra_step
 from distantspeech_tpu.stats.psd import rank1_update
-from distantspeech_tpu.stats.linalg import gauss_jordan_inv
+from distantspeech_tpu.stats.linalg import ldl_solve
 from distantspeech_tpu.stats.weights import mvdr_weights
 from distantspeech_tpu.transform import StftConfig, analysis, synthesis
 
@@ -60,15 +62,19 @@ class MvdrConfig:
 class MvdrState(NamedTuple):
     Ryy: jnp.ndarray  # [..., F, M, M]
     Rvv: jnp.ndarray  # [..., F, M, M]
-    Rvv_inv: jnp.ndarray  # [..., F, M, M]
+    u: jnp.ndarray  # [..., F, M] — held solve (Rvv + diag I)^-1 a; the
+    # reference holds the full inverse (adaptivebeamformer.py:103-104), but
+    # MVDR only ever consumes inv @ steering, so carrying the M-vector is
+    # mathematically identical and ~4x cheaper per frame (ldl_solve)
     mcra: McraState
 
 
 def mvdr_init(cfg: MvdrConfig, n_mics: int, batch_shape=(), cdtype=jnp.complex64) -> MvdrState:
     F = cfg.stft.half_bin
     z = jnp.zeros((*batch_shape, F, n_mics, n_mics), dtype=cdtype)
+    u = jnp.zeros((*batch_shape, F, n_mics), dtype=cdtype)
     rdtype = jnp.zeros(0, dtype=cdtype).real.dtype
-    return MvdrState(Ryy=z, Rvv=z, Rvv_inv=z, mcra=mcra_init(cfg.mcra, batch_shape, dtype=rdtype))
+    return MvdrState(Ryy=z, Rvv=z, u=u, mcra=mcra_init(cfg.mcra, batch_shape, dtype=rdtype))
 
 
 def mvdr_step(
@@ -92,14 +98,16 @@ def mvdr_step(
         M = Z.shape[-1]
         tr = jnp.einsum("...fmm->...f", Rvv_cand.real) / M
         load = cfg.diag + cfg.rel_diag * tr[..., None, None].astype(Z.dtype)
-    inv_cand = gauss_jordan_inv(Rvv_cand + load * eye)
+    a = steer.astype(Z.dtype)
+    u_cand = ldl_solve(Rvv_cand + load * eye, jnp.broadcast_to(a, Z.shape))
     gate = update[..., None, None]
     Rvv = jnp.where(gate, Rvv_cand, state.Rvv)
-    Rvv_inv = jnp.where(gate, inv_cand, state.Rvv_inv)
+    u = jnp.where(update[..., None], u_cand, state.u)
 
-    w = mvdr_weights(steer.astype(Z.dtype), Rvv_inv)  # [..., F, M]
-    Yf = jnp.einsum("...fm,...fm->...f", jnp.conj(w), Z)
-    return MvdrState(Ryy=Ryy, Rvv=Rvv, Rvv_inv=Rvv_inv, mcra=mcra_state), Yf
+    # w = u / (a^H u); Yf = w^H Z = (u^H Z) / conj(a^H u)
+    den = jnp.einsum("...fm,...fm->...f", jnp.conj(a), u)
+    Yf = jnp.einsum("...fm,...fm->...f", jnp.conj(u), Z) / jnp.conj(den)
+    return MvdrState(Ryy=Ryy, Rvv=Rvv, u=u, mcra=mcra_state), Yf
 
 
 def mvdr_scan(cfg: MvdrConfig, steer: jnp.ndarray, state: MvdrState, X: jnp.ndarray):

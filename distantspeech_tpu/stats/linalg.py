@@ -36,3 +36,45 @@ def diag_loaded_inv(A: jnp.ndarray, diag: float) -> jnp.ndarray:
     """inv(A + diag * I) via the unrolled elimination."""
     eye = jnp.eye(A.shape[-1], dtype=A.dtype)
     return gauss_jordan_inv(A + diag * eye)
+
+
+def ldl_solve(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """x = A^-1 b for hermitian positive-definite A, batched, unrolled.
+
+    A: [..., M, M] (hermitian, e.g. diag-loaded covariance); b: [..., M].
+    Unrolled LDL^H factorisation + two triangular solves: ~M^3/6 complex
+    multiplies versus ~M^3 for the full Gauss-Jordan inverse, no sqrt, and
+    only elementwise batched ops in the lowered program.  When just A^-1 b
+    is needed (MVDR weights against a steering vector) this is ~4x cheaper
+    than materialising the inverse.
+    """
+    M = A.shape[-1]
+    L = [[None] * M for _ in range(M)]
+    D = [None] * M
+    Dinv = [None] * M
+    for j in range(M):
+        d = A[..., j, j]
+        for k in range(j):
+            d = d - (L[j][k] * jnp.conj(L[j][k])) * D[k]
+        D[j] = d
+        Dinv[j] = 1.0 / d
+        for i in range(j + 1, M):
+            s = A[..., i, j]
+            for k in range(j):
+                s = s - L[i][k] * jnp.conj(L[j][k]) * D[k]
+            L[i][j] = s * Dinv[j]
+    # forward: L v = b (unit diagonal)
+    v = [None] * M
+    for i in range(M):
+        s = b[..., i]
+        for k in range(i):
+            s = s - L[i][k] * v[k]
+        v[i] = s
+    # diagonal + backward: L^H x = v / D
+    x = [None] * M
+    for i in range(M - 1, -1, -1):
+        s = v[i] * Dinv[i]
+        for k in range(i + 1, M):
+            s = s - jnp.conj(L[k][i]) * x[k]
+        x[i] = s
+    return jnp.stack(x, axis=-1)
