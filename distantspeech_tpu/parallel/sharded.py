@@ -76,6 +76,79 @@ def make_sharded_enhance(
     return run
 
 
+def make_sharded_enhance_pallas(
+    mesh: Mesh,
+    geometry: ArrayGeometry,
+    look_angle_deg=(90.0, 0.0),
+    cfg: EnhanceConfig = EnhanceConfig(),
+    interpret: bool = False,
+):
+    """The flagship fast path over a ('dp','fb') mesh via shard_map.
+
+    The MCRA pre-scan runs under GSPMD (its 1-bin frequency-smoothing halo
+    is XLA-inserted); the fused Pallas MVDR+OM-LSA kernel then runs
+    per-device on its local (batch-shard x bin-shard) block under
+    ``shard_map`` — the kernel is purely per-bin, so the shard region needs
+    no collectives at all.  Bins pad up to a multiple of the fb axis (padded
+    bins carry gate=0/steer=1 and are dropped before synthesis).
+
+    Returns f(x [B, M, S]) -> [B, S]; B divisible by dp.  ``interpret=True``
+    runs the kernel in interpreter mode (CPU-mesh testing).
+    """
+    from distantspeech_tpu.noise.mcra import mcra_run
+    from distantspeech_tpu.ops.pallas_mvdr import pallas_mvdr_scan
+
+    n_fb = mesh.shape["fb"]
+    mv = cfg.mvdr
+    F = cfg.stft.half_bin
+    Fp = int(np.ceil(F / n_fb) * n_fb)
+    angle_rad = np.asarray(look_angle_deg, dtype=np.float64) / 180.0 * np.pi
+    steer = np.ones((Fp, geometry.n_mics), dtype=np.complex64)
+    steer[:F] = steering_vector(geometry, angle_rad, cfg.stft.n_fft)
+
+    in_sharding = NamedSharding(mesh, P("dp", None, None))
+    spec_z = P(None, "dp", "fb", None)
+    spec_tf = P(None, "dp", "fb")
+    spec_a = P("fb", None)
+
+    def _local(Z, gate, a, p, lam):
+        return pallas_mvdr_scan(
+            Z, gate, a, alpha_v=mv.alpha_v, diag=mv.diag, p=p, lam=lam,
+            alpha_xi=cfg.alpha_xi, gmin=cfg.gmin, interpret=interpret,
+        )
+
+    local_kernel = jax.shard_map(
+        _local,
+        mesh=mesh,
+        in_specs=(spec_z, spec_tf, spec_a, spec_tf, spec_tf),
+        out_specs=spec_tf,
+        check_vma=False,  # pallas_call out_shapes don't carry vma metadata
+    )
+
+    @jax.jit
+    def run(x):
+        x = jax.lax.with_sharding_constraint(x, in_sharding)
+        X = analysis(x, cfg.stft)  # [B, M, T, F]
+        Zt = jnp.moveaxis(jnp.moveaxis(X, -3, -1), -3, 0)  # [T, B, F, M]
+        T, B = Zt.shape[0], Zt.shape[1]
+        Zt = jnp.pad(Zt, [(0, 0), (0, 0), (0, Fp - F), (0, 0)])
+        Zt = jax.lax.with_sharding_constraint(Zt, NamedSharding(mesh, spec_z))
+
+        power = jnp.real(Zt[..., 0] * jnp.conj(Zt[..., 0]))[..., :F]
+        lam, p = mcra_run(mv.mcra, power)  # GSPMD handles the 1-bin halo
+        gate = (p < mv.p_vad).astype(jnp.float32)
+        padF = [(0, 0), (0, 0), (0, Fp - F)]
+        gate = jnp.pad(gate, padF)
+        p = jnp.pad(p, padF)
+        lam = jnp.pad(lam, padF, constant_values=1.0)
+
+        Y = local_kernel(Zt, gate, jnp.asarray(steer), p, lam)  # [T, B, Fp]
+        Y = jax.lax.with_sharding_constraint(Y, NamedSharding(mesh, spec_tf))
+        return synthesis(jnp.moveaxis(Y[..., :F], 0, -2), cfg.stft)
+
+    return run
+
+
 def make_sharded_gsc(mesh: Mesh, geometry: ArrayGeometry, angle_rad=(197.0 / 180.0 * np.pi, 0.0), cfg=None):
     """Jit the frequency-domain GSC over a ('dp','fb') mesh.
 

@@ -56,3 +56,22 @@ def test_sharded_gsc_matches_single_device():
     run = make_sharded_gsc(mesh, geom, angle, cfg)
     got = np.asarray(run(jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_sharded_pallas_enhance_matches_single_device():
+    """shard_map + the fused kernel (interpret mode on the CPU mesh):
+    per-device bin shards, GSPMD MCRA pre-scan, padded-bin handling."""
+    from distantspeech_tpu.parallel import make_sharded_enhance_pallas
+
+    geom = ArrayGeometry.linear(4, 0.032)
+    cfg = EnhanceConfig()
+    rng = np.random.default_rng(3)
+    B, M, S = 4, 4, 128 * 16
+    x = rng.standard_normal((B, M, S)).astype(np.float32)
+
+    want = np.asarray(enhance_process(jnp.asarray(x), geom, (90.0, 0.0), cfg))
+    for n_dp, n_fb in [(2, 4), (4, 2)]:
+        mesh = make_mesh(n_dp, n_fb)
+        run = make_sharded_enhance_pallas(mesh, geom, (90.0, 0.0), cfg, interpret=True)
+        got = np.asarray(run(jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4, err_msg=f"mesh {n_dp}x{n_fb}")
