@@ -42,11 +42,14 @@ def main(args):
         cout, y = istft_stream(cout, jnp.moveaxis(Y, 0, -2), cfg.stft)
         return (cin, cout, enh), y
 
-    init = (
+    # build the carry under jit: eager complex-zero creation (enhance_init's
+    # covariances) is UNIMPLEMENTED on remote-attached TPUs, and the error
+    # surfaces asynchronously at the first device->host fetch
+    init = jax.jit(lambda: (
         jnp.zeros((C, cfg.stft.overlap), jnp.float32),
         jnp.zeros(cfg.stft.overlap, jnp.float32),
         enhance_init(cfg, C),
-    )
+    ))()
     proc = StreamingProcessor(step, init, chunk_size=chunk, fs=fs)
 
     rng = np.random.default_rng(0)
