@@ -18,6 +18,8 @@ import dataclasses
 from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
+
+from distantspeech_tpu.ops.dft import irdft, rdft
 import numpy as np
 
 from distantspeech_tpu.adaptive.feature import EmphasisState, emphasis_init, de_emphasis, pre_emphasis
@@ -128,7 +130,7 @@ def aec_step(
     emph_spk, x = pre_emphasis(state.emph_spk, x)
 
     buf = jnp.concatenate([state.buf[..., L:], x], axis=-1)
-    Xm = jnp.fft.rfft(buf, n=n_fft, axis=-1)
+    Xm = rdft(buf, n=n_fft, axis=-1)
     X = jnp.concatenate([Xm[..., None, :], state.X[..., :-1, :]], axis=-2)
 
     ss = 0.35 / cfg.num_block
@@ -139,8 +141,8 @@ def aec_step(
     P = cfg.alpha * state.P + (1.0 - cfg.alpha) * jnp.sum(Pm, axis=-2)
 
     Y = jnp.sum(X * state.W, axis=-2)  # [..., Fb]
-    y_b = jnp.fft.irfft(Y, n=n_fft, axis=-1)[..., -L:]
-    y_f = jnp.fft.irfft(jnp.sum(X * state.foreground, axis=-2), n=n_fft, axis=-1)[..., -L:]
+    y_b = irdft(Y, n=n_fft, axis=-1)[..., -L:]
+    y_f = irdft(jnp.sum(X * state.foreground, axis=-2), n=n_fft, axis=-1)[..., -L:]
 
     d_delay = state.d_delay
     if cfg.non_causal:
@@ -178,7 +180,7 @@ def aec_step(
         out = e_b
 
     pad = [(0, 0)] * (e_b.ndim - 1) + [(L, 0)]
-    E = jnp.fft.rfft(jnp.pad(e_b, pad), n=n_fft, axis=-1)
+    E = rdft(jnp.pad(e_b, pad), n=n_fft, axis=-1)
 
     # ---- leak estimation (aec.py:306-345, Valin 2007 eqs.17-22) -----------
     Yf_sq = jnp.abs(Y * jnp.conj(Y))
@@ -208,9 +210,9 @@ def aec_step(
 
     grad = jnp.conj(X) * E[..., None, :] / (P + 1e-6)[..., None, :]
     if cfg.constrain:
-        g1t = jnp.fft.irfft(grad, n=n_fft, axis=-1)
+        g1t = irdft(grad, n=n_fft, axis=-1)
         g1t = g1t.at[..., -L:].set(0.0)
-        grad = jnp.fft.rfft(g1t, n=n_fft, axis=-1)
+        grad = rdft(g1t, n=n_fft, axis=-1)
 
     gate = jnp.asarray(update, dtype=P.dtype)
     if cfg.prop:
@@ -219,7 +221,7 @@ def aec_step(
     else:
         W = state.W + gate * mu_opt[..., None, :] * grad
 
-    w_blocks = jnp.fft.irfft(W, n=n_fft, axis=-1)[..., :L]
+    w_blocks = irdft(W, n=n_fft, axis=-1)[..., :L]
     w = w_blocks.reshape(*w_blocks.shape[:-2], -1)
 
     emph_mic, out = de_emphasis(emph_mic, out)

@@ -26,6 +26,8 @@ import dataclasses
 from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
+
+from distantspeech_tpu.ops.dft import irdft, rdft
 import numpy as np
 
 from distantspeech_tpu.ops.delay import delay_samples
@@ -95,7 +97,7 @@ def flms_init(cfg: FlmsConfig, batch_shape=(), dtype=jnp.float32) -> FlmsState:
 def flms_set_weights(cfg: FlmsConfig, state: FlmsState, w: jnp.ndarray) -> FlmsState:
     """Replace the (single-channel) filter with time-domain taps w [..., L]
     (FastFreqLms.set_weights, :115-120)."""
-    W = jnp.fft.rfft(w, n=cfg.n_fft, axis=-1)
+    W = rdft(w, n=cfg.n_fft, axis=-1)
     return state._replace(W=W[..., None, :] if W.ndim == state.W.ndim - 1 else W)
 
 
@@ -118,10 +120,10 @@ def flms_step(
     hop, L, n_fft = cfg.hop, cfg.filter_len, cfg.n_fft
 
     buf = jnp.concatenate([state.buf[..., hop:], x], axis=-1)  # [..., C, win]
-    X = jnp.fft.rfft(buf, n=n_fft, axis=-1)  # [..., C, Fb]
+    X = rdft(buf, n=n_fft, axis=-1)  # [..., C, Fb]
     P = cfg.alpha * state.P + (1.0 - cfg.alpha) * jnp.sum(jnp.real(X * jnp.conj(X)), axis=-2)
 
-    y = jnp.fft.irfft(jnp.sum(X * state.W, axis=-2), n=n_fft, axis=-1)[..., -hop:]
+    y = irdft(jnp.sum(X * state.W, axis=-2), n=n_fft, axis=-1)[..., -hop:]
 
     d_delay = state.d_delay
     if cfg.non_causal:
@@ -132,7 +134,7 @@ def flms_step(
     if cfg.two_path:
         if hop != L or cfg.overlap != L:
             raise ValueError("two_path requires default hop == filter_len layout")
-        y_f = jnp.sum(jnp.fft.irfft(X * state.foreground, n=n_fft, axis=-1)[..., -L:], axis=-2)
+        y_f = jnp.sum(irdft(X * state.foreground, n=n_fft, axis=-1)[..., -L:], axis=-2)
         e_f = d - y_f
         # transfer logic (FastFreqLms.py:105-113): background 3 dB better?
         ratio = jnp.sum(jnp.abs(e_f), axis=-1) / (jnp.sum(jnp.abs(e), axis=-1) + 1e-6)
@@ -145,21 +147,21 @@ def flms_step(
 
     # gradient: E = rfft([zeros(overlap); e]) (compute_freq_xcorr, :183-192)
     pad = [(0, 0)] * (e.ndim - 1) + [(cfg.overlap, 0)]
-    E = jnp.fft.rfft(jnp.pad(e, pad), n=n_fft, axis=-1)  # [..., Fb]
+    E = rdft(jnp.pad(e, pad), n=n_fft, axis=-1)  # [..., Fb]
     P = jnp.maximum(P, 1e-4)  # stored clamp (:189)
     grad = jnp.conj(X) * E[..., None, :] / P[..., None, :]
 
     if cfg.constrain:
-        g1 = jnp.fft.irfft(grad, n=n_fft, axis=-1)
+        g1 = irdft(grad, n=n_fft, axis=-1)
         g1 = g1.at[..., -hop:].set(0.0)
-        grad = jnp.fft.rfft(g1, n=n_fft, axis=-1)
+        grad = rdft(g1, n=n_fft, axis=-1)
 
     gate = jnp.asarray(update, dtype=P.dtype)
     W = state.W + gate * p * 2.0 * cfg.mu * grad
 
-    w = jnp.fft.irfft(W, n=n_fft, axis=-1)[..., :L]
+    w = irdft(W, n=n_fft, axis=-1)[..., :L]
     if fir_truncate is not None:
         w_shift = w.at[..., :fir_truncate].set(0.0).at[..., -fir_truncate:].set(0.0)
-        W = jnp.fft.rfft(w_shift, n=n_fft, axis=-1)
+        W = rdft(w_shift, n=n_fft, axis=-1)
 
     return FlmsState(buf=buf, W=W, P=P, foreground=foreground, d_delay=d_delay), (e, w)

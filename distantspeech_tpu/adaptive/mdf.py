@@ -18,6 +18,8 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
 
+from distantspeech_tpu.ops.dft import irdft, rdft
+
 from distantspeech_tpu.ops.delay import delay_samples
 
 
@@ -95,14 +97,14 @@ def mdf_step(
     L, n_fft = cfg.block_len, cfg.n_fft
 
     buf = jnp.concatenate([state.buf[..., L:], x], axis=-1)
-    Xm = jnp.fft.rfft(buf, n=n_fft, axis=-1)  # [..., Fb]
+    Xm = rdft(buf, n=n_fft, axis=-1)  # [..., Fb]
     X = jnp.concatenate([Xm[..., None, :], state.X[..., :-1, :]], axis=-2)
 
     Pm_new = jnp.real(Xm * jnp.conj(Xm))
     Pm = jnp.concatenate([Pm_new[..., None, :], state.Pm[..., :-1, :]], axis=-2)
     P = cfg.alpha * state.P + (1.0 - cfg.alpha) * jnp.sum(Pm, axis=-2)
 
-    y = jnp.fft.irfft(jnp.sum(X * state.W, axis=-2), n=n_fft, axis=-1)[..., -L:]
+    y = irdft(jnp.sum(X * state.W, axis=-2), n=n_fft, axis=-1)[..., -L:]
 
     d_delay = state.d_delay
     if cfg.non_causal:
@@ -110,13 +112,13 @@ def mdf_step(
     e = d - y
 
     pad = [(0, 0)] * (e.ndim - 1) + [(L, 0)]
-    E = jnp.fft.rfft(jnp.pad(e, pad), n=n_fft, axis=-1)
+    E = rdft(jnp.pad(e, pad), n=n_fft, axis=-1)
     grad = jnp.conj(X) * E[..., None, :] / (P + 1e-6)[..., None, :]
 
     if cfg.constrain:
-        g1 = jnp.fft.irfft(grad, n=n_fft, axis=-1)
+        g1 = irdft(grad, n=n_fft, axis=-1)
         g1 = g1.at[..., -L:].set(0.0)
-        grad = jnp.fft.rfft(g1, n=n_fft, axis=-1)
+        grad = rdft(g1, n=n_fft, axis=-1)
 
     gate = jnp.asarray(update, dtype=P.dtype)
     if cfg.prop:
@@ -126,13 +128,13 @@ def mdf_step(
         W = state.W + gate * p * 2.0 * cfg.mu * grad
 
     # concatenated taps: block b occupies [b*L : (b+1)*L] (mdf.py:205-208)
-    w_blocks = jnp.fft.irfft(W, n=n_fft, axis=-1)[..., :L]  # [..., B, L]
+    w_blocks = irdft(W, n=n_fft, axis=-1)[..., :L]  # [..., B, L]
     w = w_blocks.reshape(*w_blocks.shape[:-2], -1)
 
     if fir_truncate is not None:
         if cfg.num_block != 1:
             raise ValueError("fir_truncate only supported for num_block == 1 (bit-rotted in the reference otherwise)")
         w_shift = w.at[..., :fir_truncate].set(0.0).at[..., -fir_truncate:].set(0.0)
-        W = jnp.fft.rfft(w_shift, n=n_fft, axis=-1)[..., None, :]
+        W = rdft(w_shift, n=n_fft, axis=-1)[..., None, :]
 
     return MdfState(buf=buf, X=X, W=W, Pm=Pm, P=P, d_delay=d_delay), (e, w)

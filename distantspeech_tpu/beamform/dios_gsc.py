@@ -28,6 +28,8 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from distantspeech_tpu.ops.dft import irdft, rdft
 import numpy as np
 
 
@@ -131,32 +133,32 @@ def dios_abm_init(cfg: DiosGscConfig, batch_shape=(), dtype=jnp.float64) -> Dios
 def _abm_block(cfg: DiosGscConfig, state: DiosAbmState, ctrl_abm, ctrl_aic):
     """processonedatablock (abm.py:217-286), all channels batched."""
     n = cfg.fftsize
-    xfref = jnp.fft.rfft(state.Xdline, axis=-1)  # [..., M, Fb]
+    xfref = rdft(state.Xdline, axis=-1)  # [..., M, Fb]
     pxf = jnp.abs(xfref) ** 2
     sf = cfg.abm_lambda * state.sf + (1.0 - cfg.abm_lambda) * pxf
     pftmp = jnp.where(sf < cfg.threshdiv0, 1.0 / cfg.threshdiv0, 1.0 / sf)
     muf = cfg.abm_mu * pftmp * ctrl_abm
     nuf = (ctrl_aic * cfg.abm_nu).astype(xfref.dtype)
 
-    y = jnp.fft.irfft(xfref * state.hf, n=n, axis=-1)
+    y = irdft(xfref * state.hf, n=n, axis=-1)
     e_tail = state.xrefdline[..., None, : n // 2] - y[..., n // 2 :]
     e = jnp.concatenate([jnp.zeros_like(e_tail), e_tail], axis=-1)  # [0 | new]
     E = e[..., n - n // (2 * cfg.abm_fftoverlap) :]
 
-    ef = jnp.fft.rfft(e, axis=-1)
+    ef = rdft(e, axis=-1)
     hf = state.hf + jnp.conj(xfref) * ef * muf.astype(xfref.dtype)
     hf = hf - hf * nuf
 
     # circular correlation constraint + coefficient clamps (abm.py:270-286)
     ub, lb = cfg.abm_bounds()
-    w = jnp.fft.irfft(hf, n=n, axis=-1)
+    w = irdft(hf, n=n, axis=-1)
     w = w.at[..., n // 2 :].set(0.0)
     q = n // 4
     limit = q - 3
     idx = np.concatenate([np.arange(1, limit + 1), n // 2 - np.arange(1, limit + 1), [0]])
     clamped = jnp.clip(w[..., idx], jnp.asarray(lb[idx], w.dtype), jnp.asarray(ub[idx], w.dtype))
     w = w.at[..., idx].set(clamped)
-    hf = jnp.fft.rfft(w, axis=-1)
+    hf = rdft(w, axis=-1)
     return sf, E, hf
 
 
@@ -214,15 +216,15 @@ def dios_aic_step(
     Xdline = _delayline(state.Xdline, X)
     xrefdline = _delayline(state.xrefdline, xref)
 
-    Xf = jnp.fft.rfft(Xdline, axis=-1)  # [..., M, Fb]
+    Xf = rdft(Xdline, axis=-1)  # [..., M, Fb]
     pXf = jnp.sum(jnp.abs(Xf) ** 2, axis=-2)
     yhf = jnp.sum(state.Hf * Xf, axis=-2)
-    y = jnp.fft.irfft(yhf, n=n, axis=-1)
+    y = irdft(yhf, n=n, axis=-1)
     e_tail = xrefdline[..., : n // 2] - y[..., n // 2 :]
     e = jnp.concatenate([jnp.zeros_like(e_tail), e_tail], axis=-1)
     out = e[..., n - cfg.seg :]
 
-    ef = jnp.fft.rfft(e, axis=-1)
+    ef = rdft(e, axis=-1)
     sf = cfg.aic_lambda * state.sf + (1.0 - cfg.aic_lambda) * pXf
     sftmp = jnp.where(sf < cfg.aic_delta_con, 1.0 / cfg.aic_delta_con, 1.0 / sf)
     muf = (cfg.aic_mu * sftmp * ctrl_aic).astype(Xf.dtype)
@@ -233,9 +235,9 @@ def dios_aic_step(
     scale = jnp.where(norm > cfg.aic_maxnorm, jnp.sqrt(cfg.aic_maxnorm / norm), 1.0)
 
     Hf = Hf - Hf * nuf[..., None, :]
-    w = jnp.fft.irfft(Hf, n=n, axis=-1)
+    w = irdft(Hf, n=n, axis=-1)
     w = w.at[..., n // 2 :].set(0.0) * scale[..., None, None]
-    Hf = jnp.fft.rfft(w, axis=-1)
+    Hf = rdft(w, axis=-1)
 
     return DiosAicState(Xdline=Xdline, xrefdline=xrefdline, Hf=Hf, sf=sf), out
 

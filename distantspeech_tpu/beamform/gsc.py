@@ -34,6 +34,15 @@ class GscConfig:
     n_mics: int = 4
     frame_len: int = 256
     mu: float = 0.01  # canceller stepsize (GSC.py:202)
+    normalize_aic: bool = False  # power-normalise the canceller gradient.
+    # The reference runs UNNORMALISED LMS (Pest[k] = 1, its normalisation is
+    # commented out, GSC.py:270-274), which diverges on loud broadband input
+    # — sooner in complex64.  True enables the reference's own commented-out
+    # recursion Pest = rho*Pest + (1-rho)*sum|Z|^2; False matches it exactly.
+    rho_pest: float = 0.9
+    spp_rel_diag: float = 0.0  # relative diagonal loading for the MC-MCRA
+    # Phi_vv inverse (see McMcraConfig.rel_diag) — needed for complex64
+    # execution on near-coherent input; 0 matches the reference.
 
     @property
     def stft(self) -> StftConfig:
@@ -45,7 +54,7 @@ class GscConfig:
 
     @property
     def mc_mcra(self) -> McMcraConfig:
-        return McMcraConfig(nfft=self.frame_len, n_channels=self.n_mics)
+        return McMcraConfig(nfft=self.frame_len, n_channels=self.n_mics, rel_diag=self.spp_rel_diag)
 
 
 def gsc_steering(cfg: GscConfig, geometry: ArrayGeometry, angle_rad) -> np.ndarray:
@@ -62,6 +71,7 @@ def gsc_steering(cfg: GscConfig, geometry: ArrayGeometry, angle_rad) -> np.ndarr
 
 class GscState(NamedTuple):
     G: jnp.ndarray  # canceller weights [..., F, M-1]
+    Pest: jnp.ndarray  # gradient-normalisation power [..., F] (ones when off)
     spp: McMcraState
 
 
@@ -69,6 +79,7 @@ def gsc_init(cfg: GscConfig, batch_shape=(), cdtype=jnp.complex64) -> GscState:
     rdtype = jnp.zeros(0, dtype=cdtype).real.dtype
     return GscState(
         G=jnp.zeros((*batch_shape, cfg.half_bin, cfg.n_mics - 1), dtype=cdtype),
+        Pest=jnp.ones((*batch_shape, cfg.half_bin), dtype=rdtype),
         spp=mc_mcra_init(cfg.mc_mcra, batch_shape, dtype=rdtype),
     )
 
@@ -86,10 +97,16 @@ def gsc_step(
     U = jnp.conj(a[:, :1]) * Z[..., :1] - jnp.conj(a[:, 1:]) * Z[..., 1:]  # [..., F, M-1]
 
     Y = Yfbf - jnp.einsum("...fi,...fi->...f", jnp.conj(state.G), U)
-    G = state.G + cfg.mu * (1.0 - spp_out.p)[..., None] * U * jnp.conj(Y)[..., None]
+    if cfg.normalize_aic:
+        power = jnp.sum(jnp.real(Z * jnp.conj(Z)), axis=-1)
+        Pest = cfg.rho_pest * state.Pest + (1.0 - cfg.rho_pest) * power
+        Pest = jnp.maximum(Pest, 1e-10)
+    else:
+        Pest = state.Pest  # stays 1 (GSC.py:270)
+    G = state.G + (cfg.mu * (1.0 - spp_out.p) / Pest)[..., None] * U * jnp.conj(Y)[..., None]
 
     Y_out = Y * spp_out.G  # OM-LSA postfilter gain (GSC.py:286)
-    return GscState(G=G, spp=spp_state), Y_out
+    return GscState(G=G, Pest=Pest, spp=spp_state), Y_out
 
 
 def gsc_process(

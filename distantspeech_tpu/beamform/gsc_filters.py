@@ -22,6 +22,8 @@ from __future__ import annotations
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
+
+from distantspeech_tpu.ops.dft import irdft, rdft
 import numpy as np
 
 from distantspeech_tpu.adaptive.flms import FlmsConfig, FlmsState
@@ -48,9 +50,9 @@ def _forward(cfg: FlmsConfig, state: FlmsState, x, d):
     """Shared FLMS forward + gradient (compute_freq_conv / compute_freq_xcorr)."""
     hop, n_fft = cfg.hop, cfg.n_fft
     buf = jnp.concatenate([state.buf[..., hop:], x], axis=-1)
-    X = jnp.fft.rfft(buf, n=n_fft, axis=-1)
+    X = rdft(buf, n=n_fft, axis=-1)
     P = cfg.alpha * state.P + (1.0 - cfg.alpha) * jnp.sum(jnp.real(X * jnp.conj(X)), axis=-2)
-    y = jnp.fft.irfft(jnp.sum(X * state.W, axis=-2), n=n_fft, axis=-1)[..., -hop:]
+    y = irdft(jnp.sum(X * state.W, axis=-2), n=n_fft, axis=-1)[..., -hop:]
 
     d_delay = state.d_delay
     if cfg.non_causal:
@@ -58,7 +60,7 @@ def _forward(cfg: FlmsConfig, state: FlmsState, x, d):
     e = d - y
 
     pad = [(0, 0)] * (e.ndim - 1) + [(cfg.overlap, 0)]
-    E = jnp.fft.rfft(jnp.pad(e, pad), n=n_fft, axis=-1)
+    E = rdft(jnp.pad(e, pad), n=n_fft, axis=-1)
     P = jnp.maximum(P, 1e-4)
     grad = jnp.conj(X) * E[..., None, :] / P[..., None, :]
     return buf, P, e, grad, d_delay
@@ -79,15 +81,15 @@ def bm_step(
     W = state.W + gate * p * cfg.mu * grad  # no 2x (gsc_bm.py:90)
 
     if cfg.constrain:
-        w_full = jnp.fft.irfft(W, n=cfg.n_fft, axis=-1)
+        w_full = irdft(W, n=cfg.n_fft, axis=-1)
         w_full = w_full.at[..., -cfg.hop :].set(0.0)
         nb = cfg.n_fft // 2
         ub = jnp.asarray(bm_bounds(cfg.n_fft), dtype=w_full.dtype)
         clamped = jnp.clip(w_full[..., :nb], -0.001, ub)
         w_full = jnp.concatenate([clamped, w_full[..., nb:]], axis=-1)
-        W = jnp.fft.rfft(w_full, n=cfg.n_fft, axis=-1)
+        W = rdft(w_full, n=cfg.n_fft, axis=-1)
 
-    w = jnp.fft.irfft(W, n=cfg.n_fft, axis=-1)[..., : cfg.filter_len]
+    w = irdft(W, n=cfg.n_fft, axis=-1)[..., : cfg.filter_len]
     return FlmsState(buf=buf, W=W, P=P, foreground=state.foreground, d_delay=d_delay), (e, w)
 
 
@@ -112,13 +114,13 @@ def aic_step(
         scale = jnp.ones(W.shape[:-2], dtype=P.dtype)
 
     if cfg.constrain:
-        w_full = jnp.fft.irfft(W, n=cfg.n_fft, axis=-1) * scale[..., None, None]
+        w_full = irdft(W, n=cfg.n_fft, axis=-1) * scale[..., None, None]
         w_full = w_full.at[..., -cfg.hop :].set(0.0)
-        W = jnp.fft.rfft(w_full, n=cfg.n_fft, axis=-1)
+        W = rdft(w_full, n=cfg.n_fft, axis=-1)
 
-    w = jnp.fft.irfft(W, n=cfg.n_fft, axis=-1)[..., : cfg.filter_len]
+    w = irdft(W, n=cfg.n_fft, axis=-1)[..., : cfg.filter_len]
     if fir_truncate is not None:
         w_shift = w.at[..., :fir_truncate].set(0.0).at[..., -fir_truncate:].set(0.0)
-        W = jnp.fft.rfft(w_shift * scale[..., None, None], n=cfg.n_fft, axis=-1)
+        W = rdft(w_shift * scale[..., None, None], n=cfg.n_fft, axis=-1)
 
     return FlmsState(buf=buf, W=W, P=P, foreground=state.foreground, d_delay=d_delay), (e, w)

@@ -16,6 +16,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from distantspeech_tpu.ops.dft import irdft, rdft
+
 from distantspeech_tpu.adaptive.flms import FlmsConfig, FlmsState, flms_init, flms_step
 from distantspeech_tpu.ops.delay import delay_frames, delay_frames_init
 
@@ -62,7 +64,7 @@ def kws_step(
     w_fifo, w_delayed = delay_frames(state.w_fifo, w[..., 0, :])
 
     # load deferred taps into the cleaner (set_weights, FastFreqLms.py:115-120)
-    W_frozen = jnp.fft.rfft(w_delayed, n=cfg.flms.n_fft, axis=-1)[..., None, :]
+    W_frozen = rdft(w_delayed, n=cfg.flms.n_fft, axis=-1)[..., None, :]
     cleaner_state = state.cleaner._replace(W=W_frozen)
     cleaner_state, (cleaned, _) = flms_step(
         cfg.flms, cleaner_state, x0[..., None, :], x1, update=0.0

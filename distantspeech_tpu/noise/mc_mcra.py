@@ -22,6 +22,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from distantspeech_tpu.stats.linalg import gauss_jordan_inv
+
 
 @dataclasses.dataclass(frozen=True)
 class McMcraConfig:
@@ -30,6 +32,11 @@ class McMcraConfig:
     alpha: float = 0.92  # Phi_yy pole (mc_mcra.py:37)
     alpha_d: float = 0.95  # noise pole (mc_mcra.py:35)
     diag: float = 1e-6
+    rel_diag: float = 0.0  # extra loading scaled by tr(Phi_vv)/C.  0 matches
+    # the reference (mc_mcra.py:191, absolute 1e-6 in float64); in float32 a
+    # single-snapshot Phi_vv is rank-1 with condition |y|^2/1e-6 and its
+    # inverse goes non-finite during warmup — ~1e-5 bounds the condition at
+    # ~1/rel_diag, safe for complex64 device execution.
     psi_0: float = 100.0
     psi_tilde_0: float = 100.0
     q_min: float = 0.01
@@ -74,7 +81,11 @@ def mc_mcra_step(cfg: McMcraConfig, state: McMcraState, y: jnp.ndarray) -> Tuple
     Phi_vv = jnp.where(state.frm_cnt < cfg.warmup_frames, Phi_yy, state.Phi_vv)
     Phi_xx = Phi_yy - Phi_vv
 
-    Pinv = jnp.linalg.inv(Phi_vv + cfg.diag * eye)
+    load = cfg.diag
+    if cfg.rel_diag:
+        tr = jnp.trace(Phi_vv, axis1=-2, axis2=-1) / C
+        load = cfg.diag + cfg.rel_diag * tr[..., None, None]
+    Pinv = gauss_jordan_inv(Phi_vv + load * eye)
 
     PiYy = Pinv @ Phi_yy
     xi = jnp.clip(jnp.trace(PiYy, axis1=-2, axis2=-1) - C, 1e-6, 1e6)

@@ -29,6 +29,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from distantspeech_tpu.stats.linalg import gauss_jordan_inv
+
 from distantspeech_tpu.noise.mccdr import McCdrConfig, McCdrState, mccdr_init, mccdr_step
 from distantspeech_tpu.noise.mcspp_base import McSppOut
 
@@ -104,12 +106,12 @@ def mcspp_step(
     # ---- estimation_core (mcspp.py:201-245) --------------------------------
     Phi_vv = 0.5 * (Phi_vv + jnp.conj(jnp.swapaxes(Phi_vv, -1, -2)))  # :214
     Phi_xx = Phi_yy - Phi_vv
-    Pinv = jnp.linalg.inv(Phi_vv + diag)
+    Pinv = gauss_jordan_inv(Phi_vv + diag)
 
     xi = jnp.trace(jnp.real(Pinv @ Phi_yy), axis1=-2, axis2=-1) - C
     neg = xi < 0.0  # [..., F]
     repair = jnp.where(
-        (state.frm_cnt < cfg.repair_frames), jnp.linalg.inv(Phi_yy + diag), jnp.linalg.inv(Phi_yy)
+        (state.frm_cnt < cfg.repair_frames), gauss_jordan_inv(Phi_yy + diag), gauss_jordan_inv(Phi_yy)
     )
     Pinv = jnp.where(neg[..., None, None], repair, Pinv)
     xi = jnp.trace(jnp.real(Pinv @ Phi_yy), axis1=-2, axis2=-1) - C

@@ -20,6 +20,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from distantspeech_tpu.stats.linalg import gauss_jordan_inv
+
 from distantspeech_tpu.noise.mcra import McraConfig, McraState, mcra_init, mcra_step
 
 
@@ -81,7 +83,7 @@ def mcspp_base_step(cfg: McSppBaseConfig, state: McSppBaseState, y: jnp.ndarray)
     Phi_xx = Phi_yy - state.Phi_vv
 
     eye = jnp.eye(C, dtype=psd_yy.real.dtype)
-    Pinv = jnp.linalg.inv(state.Phi_vv.real + cfg.diag * eye)  # real (mcspp_base.py:274)
+    Pinv = gauss_jordan_inv(state.Phi_vv.real + cfg.diag * eye)  # real (mcspp_base.py:274)
 
     PiXx = Pinv @ Phi_xx.real
     xi = jnp.trace(PiXx, axis1=-2, axis2=-1)

@@ -76,7 +76,11 @@ def run(args) -> np.ndarray:
     elif args.pipeline == "gsc":
         from distantspeech_tpu.beamform import GscConfig, gsc_process
 
-        y = gsc_process(xj, geom, angle_rad, GscConfig(n_mics=M, frame_len=args.frame_len))
+        # production-robust settings: the reference-exact defaults run an
+        # unnormalised canceller and an absolutely-loaded SPP inverse, both
+        # of which can go non-finite in complex64 on loud/coherent input
+        cfg = GscConfig(n_mics=M, frame_len=args.frame_len, normalize_aic=True, spp_rel_diag=1e-5)
+        y = gsc_process(xj, geom, angle_rad, cfg)
     elif args.pipeline == "tdgsc":
         from distantspeech_tpu.beamform import TdGscConfig, tdgsc_process
 

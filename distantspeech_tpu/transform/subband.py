@@ -25,6 +25,8 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+from distantspeech_tpu.ops.dft import irdft, rdft
 import numpy as np
 
 from distantspeech_tpu.ops.framing import frame_signal
@@ -69,7 +71,7 @@ def subband_analysis_frames(x: jnp.ndarray, cfg: SubbandConfig, h: jnp.ndarray) 
     frames = frame_signal(x, cfg.win_len, cfg.hop)  # [..., T, win]
     windowed = jnp.flip(frames, axis=-1) * h
     folded = windowed.reshape(*windowed.shape[:-1], cfg.m, cfg.n_fft).sum(axis=-2)
-    return jnp.fft.rfft(folded, axis=-1)
+    return rdft(folded, axis=-1)
 
 
 def subband_analysis(x: jnp.ndarray, cfg: SubbandConfig) -> jnp.ndarray:
@@ -98,7 +100,7 @@ def subband_synthesis_step(
     tdl: [..., win_len] delay-line carry; Y_frame: [..., half_bin].
     Returns (tdl', y [..., hop]) with the reference's net n_fft scaling.
     """
-    y = jnp.fft.irfft(Y_frame, n=cfg.n_fft, axis=-1)
+    y = irdft(Y_frame, n=cfg.n_fft, axis=-1)
     y_win = jnp.tile(y, (1,) * (y.ndim - 1) + (cfg.m,)) * g
     shifted = jnp.concatenate([jnp.zeros_like(tdl[..., : cfg.hop]), tdl[..., : -cfg.hop]], axis=-1)
     tdl = shifted + y_win

@@ -147,3 +147,26 @@ def test_subband_gsc_parity():
     np.testing.assert_allclose(np.asarray(p).T, p_ref, atol=3e-5)
     np.testing.assert_allclose(np.asarray(bm).T, bm_ref, atol=1e-6)
     np.testing.assert_allclose(np.asarray(out), out_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_gsc_normalized_aic_stable_f32():
+    """The reference's unnormalised LMS canceller diverges on loud broadband
+    input (sooner in complex64); the opt-in power normalisation — the
+    reference's own commented-out recursion (GSC.py:270-274) — must stay
+    finite where the default faithfully blows up."""
+    import jax.numpy as jnp
+    from distantspeech_tpu.array.geometry import ArrayGeometry
+    from distantspeech_tpu.beamform import GscConfig, gsc_process
+
+    rng = np.random.default_rng(0)
+    geom = ArrayGeometry.linear(4, 0.032)
+    cfg = GscConfig(n_mics=4, normalize_aic=True, spp_rel_diag=1e-5)
+    # (a) loud broadband noise — diverges the unnormalised canceller
+    x = jnp.asarray(rng.standard_normal((4, 16000)).astype(np.float32))
+    y = np.asarray(gsc_process(x, geom, (np.pi / 2, 0.0), cfg))
+    assert np.isfinite(y).all()
+    # (b) near-coherent target — rank-1 Phi_vv breaks the f32 MC-MCRA inverse
+    burst = rng.standard_normal(16000).astype(np.float32)
+    xc = jnp.asarray(np.tile(burst, (4, 1)) + 0.3 * rng.standard_normal((4, 16000)).astype(np.float32))
+    yc = np.asarray(gsc_process(xc, geom, (np.pi / 2, 0.0), cfg))
+    assert np.isfinite(yc).all()
