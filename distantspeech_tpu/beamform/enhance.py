@@ -98,13 +98,19 @@ def enhance_scan_pallas(
     from distantspeech_tpu.noise.mcra import mcra_run
     from distantspeech_tpu.ops.pallas_mvdr import pallas_mvdr_scan
 
+    if Zt.ndim != 4:
+        raise ValueError(
+            f"enhance_scan_pallas needs Zt of shape [T, B, F, M] (4-D), got {Zt.shape}; "
+            "add a size-1 batch axis for single utterances, or use backend='scan'"
+        )
     mv = cfg.mvdr
     power = jnp.real(Zt[..., 0] * jnp.conj(Zt[..., 0]))  # [T, B, F]
     lam, p = mcra_run(mv.mcra, power)
     gate = (p < mv.p_vad).astype(jnp.float32)
 
     return pallas_mvdr_scan(
-        Zt, gate, steer, alpha_v=mv.alpha_v, diag=mv.diag, interpret=interpret,
+        Zt, gate, steer, alpha_v=mv.alpha_v, diag=mv.diag, rel_diag=mv.rel_diag,
+        interpret=interpret,
         p=p, lam=lam, alpha_xi=cfg.alpha_xi, gmin=cfg.gmin,
     )  # [T, B, F], OM-LSA gain fused into the kernel
 

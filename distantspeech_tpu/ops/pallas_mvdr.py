@@ -43,13 +43,16 @@ def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
 
 
-def _mvdr_frame(zr, zi, g, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag):
+def _mvdr_frame(zr, zi, g, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag, rel_diag=0.0):
     """One MVDR frame on vreg tiles: gated hermitian rank-1 update of the
-    lower triangle of R, then u = (R + diag I)^-1 a via an unrolled LDL^H
+    lower triangle of R, then u = (R + load I)^-1 a via an unrolled LDL^H
     factorisation and two triangular solves — O(M^3/6) complex muls and no
     sqrt, versus O(M^3) for a full Gauss-Jordan inverse, and only the
     M-vector u (not the M x M inverse) is carried for gate-off frames.
     Returns y = u^H z / conj(a^H u)  ==  w^H z with w = R^-1 a / (a^H R^-1 a).
+
+    load = diag + rel_diag * tr(R)/M, matching ``MvdrConfig.rel_diag``
+    (the complex64 production guard; beamform/mvdr.py:96-100).
 
     zr/zi: [M, 8, Ft]; g: [8, Ft]; ar/ai: [M, 8, Ft]; scratch refs Rr/Ri
     [M, M, 8, Ft], Ur/Ui [M, 8, Ft]."""
@@ -58,87 +61,93 @@ def _mvdr_frame(zr, zi, g, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag):
 
     # --- gated hermitian rank-1 update, lower triangle only ----------------
     # (mvdr_step:82-88; R[i][j] for i>j, real diagonal in Rr[j][j])
-    if True:
-        for i in range(M):
-            for j in range(i + 1):
-                if i == j:
-                    out = zr[i] * zr[i] + zi[i] * zi[i]
-                    Rr[i, i] = jnp.where(upd, alpha_v * Rr[i, i] + beta * out, Rr[i, i])
-                else:
-                    outr = zr[i] * zr[j] + zi[i] * zi[j]
-                    outi = zi[i] * zr[j] - zr[i] * zi[j]
-                    Rr[i, j] = jnp.where(upd, alpha_v * Rr[i, j] + beta * outr, Rr[i, j])
-                    Ri[i, j] = jnp.where(upd, alpha_v * Ri[i, j] + beta * outi, Ri[i, j])
+    for i in range(M):
+        for j in range(i + 1):
+            if i == j:
+                out = zr[i] * zr[i] + zi[i] * zi[i]
+                Rr[i, i] = jnp.where(upd, alpha_v * Rr[i, i] + beta * out, Rr[i, i])
+            else:
+                outr = zr[i] * zr[j] + zi[i] * zi[j]
+                outi = zi[i] * zr[j] - zr[i] * zi[j]
+                Rr[i, j] = jnp.where(upd, alpha_v * Rr[i, j] + beta * outr, Rr[i, j])
+                Ri[i, j] = jnp.where(upd, alpha_v * Ri[i, j] + beta * outi, Ri[i, j])
 
-        # --- LDL^H of A = R + diag I (unit lower L, real diagonal D) --------
-        Lr = [[None] * M for _ in range(M)]
-        Li = [[None] * M for _ in range(M)]
-        D = [None] * M
-        Dinv = [None] * M
-        for j in range(M):
-            d = Rr[j, j] + diag
+    load = diag
+    if rel_diag:
+        tr_R = Rr[0, 0]
+        for i in range(1, M):
+            tr_R = tr_R + Rr[i, i]
+        load = diag + (rel_diag / M) * tr_R  # [8, Ft] per-lane loading
+
+    # --- LDL^H of A = R + load I (unit lower L, real diagonal D) -----------
+    Lr = [[None] * M for _ in range(M)]
+    Li = [[None] * M for _ in range(M)]
+    D = [None] * M
+    Dinv = [None] * M
+    for j in range(M):
+        d = Rr[j, j] + load
+        for k in range(j):
+            d = d - (Lr[j][k] * Lr[j][k] + Li[j][k] * Li[j][k]) * D[k]
+        D[j] = d
+        Dinv[j] = 1.0 / d
+        for i in range(j + 1, M):
+            sr, si = Rr[i, j], Ri[i, j]
             for k in range(j):
-                d = d - (Lr[j][k] * Lr[j][k] + Li[j][k] * Li[j][k]) * D[k]
-            D[j] = d
-            Dinv[j] = 1.0 / d
-            for i in range(j + 1, M):
-                sr, si = Rr[i, j], Ri[i, j]
-                for k in range(j):
-                    # L[i][k] * conj(L[j][k]) * D[k]
-                    tr, ti = _cmul(Lr[i][k], Li[i][k], Lr[j][k], -Li[j][k])
-                    sr, si = sr - tr * D[k], si - ti * D[k]
-                Lr[i][j] = sr * Dinv[j]
-                Li[i][j] = si * Dinv[j]
+                # L[i][k] * conj(L[j][k]) * D[k]
+                tr, ti = _cmul(Lr[i][k], Li[i][k], Lr[j][k], -Li[j][k])
+                sr, si = sr - tr * D[k], si - ti * D[k]
+            Lr[i][j] = sr * Dinv[j]
+            Li[i][j] = si * Dinv[j]
 
-        # --- solve L v = a (unit diag), v /= D, L^H u = v -------------------
-        vr = [None] * M
-        vi = [None] * M
-        for i in range(M):
-            sr, si = ar[i], ai[i]
-            for k in range(i):
-                tr, ti = _cmul(Lr[i][k], Li[i][k], vr[k], vi[k])
-                sr, si = sr - tr, si - ti
-            vr[i], vi[i] = sr, si
-        for i in range(M):
-            vr[i], vi[i] = vr[i] * Dinv[i], vi[i] * Dinv[i]
-        ur = [None] * M
-        ui = [None] * M
-        for i in range(M - 1, -1, -1):
-            sr, si = vr[i], vi[i]
-            for k in range(i + 1, M):
-                # conj(L[k][i]) * u[k]
-                tr, ti = _cmul(Lr[k][i], -Li[k][i], ur[k], ui[k])
-                sr, si = sr - tr, si - ti
-            ur[i], ui[i] = sr, si
+    # --- solve L v = a (unit diag), v /= D, L^H u = v -----------------------
+    vr = [None] * M
+    vi = [None] * M
+    for i in range(M):
+        sr, si = ar[i], ai[i]
+        for k in range(i):
+            tr, ti = _cmul(Lr[i][k], Li[i][k], vr[k], vi[k])
+            sr, si = sr - tr, si - ti
+        vr[i], vi[i] = sr, si
+    for i in range(M):
+        vr[i], vi[i] = vr[i] * Dinv[i], vi[i] * Dinv[i]
+    ur = [None] * M
+    ui = [None] * M
+    for i in range(M - 1, -1, -1):
+        sr, si = vr[i], vi[i]
+        for k in range(i + 1, M):
+            # conj(L[k][i]) * u[k]
+            tr, ti = _cmul(Lr[k][i], -Li[k][i], ur[k], ui[k])
+            sr, si = sr - tr, si - ti
+        ur[i], ui[i] = sr, si
 
-        # --- hold u for gate-off frames (the reference holds Rvv_inv) ------
-        for i in range(M):
-            Ur[i] = jnp.where(upd, ur[i], Ur[i])
-            Ui[i] = jnp.where(upd, ui[i], Ui[i])
+    # --- hold u for gate-off frames (the reference holds Rvv_inv) ----------
+    for i in range(M):
+        Ur[i] = jnp.where(upd, ur[i], Ur[i])
+        Ui[i] = jnp.where(upd, ui[i], Ui[i])
 
-        # --- y = w^H z with w = u / (a^H u) (mvdr_step:90-91) --------------
-        shp = g.shape
-        den_r = jnp.zeros(shp, dtype=jnp.float32)
-        den_i = jnp.zeros(shp, dtype=jnp.float32)
-        for r in range(M):
-            tr, ti = _cmul(ar[r], -ai[r], Ur[r], Ui[r])  # conj(a) * u
-            den_r, den_i = den_r + tr, den_i + ti
-        # w^H z = conj(u/den)^T z = (u^H z) / conj(den)
-        nr = jnp.zeros(shp, dtype=jnp.float32)
-        ni = jnp.zeros(shp, dtype=jnp.float32)
-        for r in range(M):
-            tr, ti = _cmul(Ur[r], -Ui[r], zr[r], zi[r])  # conj(u) * z
-            nr, ni = nr + tr, ni + ti
-        dmag = den_r * den_r + den_i * den_i
-        cinv_r, cinv_i = den_r / dmag, den_i / dmag  # 1 / conj(den)
-        return _cmul(nr, ni, cinv_r, cinv_i)
+    # --- y = w^H z with w = u / (a^H u) (mvdr_step:90-91) ------------------
+    shp = g.shape
+    den_r = jnp.zeros(shp, dtype=jnp.float32)
+    den_i = jnp.zeros(shp, dtype=jnp.float32)
+    for r in range(M):
+        tr, ti = _cmul(ar[r], -ai[r], Ur[r], Ui[r])  # conj(a) * u
+        den_r, den_i = den_r + tr, den_i + ti
+    # w^H z = conj(u/den)^T z = (u^H z) / conj(den)
+    nr = jnp.zeros(shp, dtype=jnp.float32)
+    ni = jnp.zeros(shp, dtype=jnp.float32)
+    for r in range(M):
+        tr, ti = _cmul(Ur[r], -Ui[r], zr[r], zi[r])  # conj(u) * z
+        nr, ni = nr + tr, ni + ti
+    dmag = den_r * den_r + den_i * den_i
+    cinv_r, cinv_i = den_r / dmag, den_i / dmag  # 1 / conj(den)
+    return _cmul(nr, ni, cinv_r, cinv_i)
 
 
 def _mvdr_kernel(
     zr_ref, zi_ref, gate_ref, ar_ref, ai_ref,  # inputs
     yr_ref, yi_ref,  # outputs
     Rr, Ri, Ur, Ui,  # scratch: lower-tri covariance [M, M, 8, Ft]; held solve vector [M, 8, Ft]
-    *, Tc: int, M: int, alpha_v: float, diag: float,
+    *, Tc: int, M: int, alpha_v: float, diag: float, rel_diag: float,
 ):
     @pl.when(pl.program_id(1) == 0)
     def _init():
@@ -152,7 +161,7 @@ def _mvdr_kernel(
 
     def frame(t, _):
         yr, yi = _mvdr_frame(
-            zr_ref[0, t], zi_ref[0, t], gate_ref[0, t], ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag
+            zr_ref[0, t], zi_ref[0, t], gate_ref[0, t], ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag, rel_diag
         )
         yr_ref[0, t] = yr
         yi_ref[0, t] = yi
@@ -165,7 +174,7 @@ def _mvdr_omlsa_kernel(
     zr_ref, zi_ref, gate_ref, p_ref, lam_ref, ar_ref, ai_ref,  # inputs
     yr_ref, yi_ref,  # outputs
     Rr, Ri, Ur, Ui, Gh, Gam,  # scratch (+ OM-LSA gain carry [8, Ft] x2)
-    *, Tc: int, M: int, alpha_v: float, diag: float, alpha_xi: float, gmin: float,
+    *, Tc: int, M: int, alpha_v: float, diag: float, rel_diag: float, alpha_xi: float, gmin: float,
 ):
     """The full flagship frame: MVDR beamform + decision-directed OM-LSA
     gain (enhance_step, beamform/enhance.py; oracle mcspp_base.py:140-156).
@@ -187,7 +196,7 @@ def _mvdr_omlsa_kernel(
 
     def frame(t, _):
         yr, yi = _mvdr_frame(
-            zr_ref[0, t], zi_ref[0, t], gate_ref[0, t], ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag
+            zr_ref[0, t], zi_ref[0, t], gate_ref[0, t], ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag, rel_diag
         )
         p = p_ref[0, t]  # [8, Ft]
         lam = jnp.maximum(lam_ref[0, t], 1e-10)
@@ -208,7 +217,7 @@ def _mvdr_omlsa_kernel(
 
 def pallas_mvdr_scan(
     Z: jnp.ndarray, gate: jnp.ndarray, steer: jnp.ndarray,
-    alpha_v: float = 0.9998, diag: float = 1e-6,
+    alpha_v: float = 0.9998, diag: float = 1e-6, rel_diag: float = 0.0,
     f_tile: int = 128, t_chunk: int = 64, interpret: bool = False,
     p: jnp.ndarray = None, lam: jnp.ndarray = None,
     alpha_xi: float = 0.92, gmin: float = 0.0631,
@@ -230,6 +239,14 @@ def pallas_mvdr_scan(
     B*F to one tile multiple.  T pads to ``t_chunk`` (frame chunks streamed
     through the innermost grid dim, covariance carry resident in VMEM).
     """
+    if (p is None) != (lam is None):
+        raise ValueError(
+            "pallas_mvdr_scan: the fused OM-LSA mode needs BOTH p and lam "
+            f"(got p={'set' if p is not None else 'None'}, "
+            f"lam={'set' if lam is not None else 'None'})"
+        )
+    if Z.ndim != 4:
+        raise ValueError(f"pallas_mvdr_scan: Z must be [T, B, F, M] (4-D), got shape {Z.shape}")
     T, B, F, M = Z.shape
     cell = _SUB * f_tile  # elements per grid cell
     E = B * F
@@ -276,7 +293,7 @@ def pallas_mvdr_scan(
     if fused:
         kern = partial(
             _mvdr_omlsa_kernel, Tc=t_chunk, M=M, alpha_v=alpha_v, diag=diag,
-            alpha_xi=alpha_xi, gmin=gmin,
+            rel_diag=rel_diag, alpha_xi=alpha_xi, gmin=gmin,
         )
         in_specs = [zspec, zspec, tspec, tspec, tspec, aspec, aspec]
         operands = (zr, zi, g, to_tiles(p, False), to_tiles(lam, False), None, None)
@@ -285,7 +302,7 @@ def pallas_mvdr_scan(
             pltpu.VMEM((_SUB, f_tile), jnp.float32),
         ]
     else:
-        kern = partial(_mvdr_kernel, Tc=t_chunk, M=M, alpha_v=alpha_v, diag=diag)
+        kern = partial(_mvdr_kernel, Tc=t_chunk, M=M, alpha_v=alpha_v, diag=diag, rel_diag=rel_diag)
         in_specs = [zspec, zspec, tspec, aspec, aspec]
         operands = (zr, zi, g, None, None)
 

@@ -113,8 +113,8 @@ def make_sharded_enhance_pallas(
 
     def _local(Z, gate, a, p, lam):
         return pallas_mvdr_scan(
-            Z, gate, a, alpha_v=mv.alpha_v, diag=mv.diag, p=p, lam=lam,
-            alpha_xi=cfg.alpha_xi, gmin=cfg.gmin, interpret=interpret,
+            Z, gate, a, alpha_v=mv.alpha_v, diag=mv.diag, rel_diag=mv.rel_diag,
+            p=p, lam=lam, alpha_xi=cfg.alpha_xi, gmin=cfg.gmin, interpret=interpret,
         )
 
     local_kernel = jax.shard_map(

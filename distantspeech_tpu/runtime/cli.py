@@ -30,6 +30,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--angle", type=float, default=90.0, help="look azimuth in degrees")
     p.add_argument("--frame-len", type=int, default=256)
     p.add_argument("--fs", type=int, default=16000)
+    p.add_argument("--reference-exact", action="store_true",
+                   help="use the reference-faithful (parity-tested) configuration instead of "
+                        "the production-robust defaults; currently affects --pipeline gsc, "
+                        "whose default enables normalize_aic and spp_rel_diag=1e-5 to guard "
+                        "the complex64 path against non-finite weights")
     return p
 
 
@@ -76,10 +81,14 @@ def run(args) -> np.ndarray:
     elif args.pipeline == "gsc":
         from distantspeech_tpu.beamform import GscConfig, gsc_process
 
-        # production-robust settings: the reference-exact defaults run an
-        # unnormalised canceller and an absolutely-loaded SPP inverse, both
-        # of which can go non-finite in complex64 on loud/coherent input
-        cfg = GscConfig(n_mics=M, frame_len=args.frame_len, normalize_aic=True, spp_rel_diag=1e-5)
+        # default: production-robust settings — the reference-exact defaults
+        # run an unnormalised canceller and an absolutely-loaded SPP inverse,
+        # both of which can go non-finite in complex64 on loud/coherent
+        # input.  --reference-exact restores the parity-tested configuration.
+        if args.reference_exact:
+            cfg = GscConfig(n_mics=M, frame_len=args.frame_len)
+        else:
+            cfg = GscConfig(n_mics=M, frame_len=args.frame_len, normalize_aic=True, spp_rel_diag=1e-5)
         y = gsc_process(xj, geom, angle_rad, cfg)
     elif args.pipeline == "tdgsc":
         from distantspeech_tpu.beamform import TdGscConfig, tdgsc_process
