@@ -31,22 +31,25 @@ def _sync(y):
 
 
 def _measure(fn, *args, iters=40):
-    """Slope method: per-call = (t(n2) - t(n1)) / (n2 - n1), cancelling the
-    dispatch and device->host fetch constants (bench.py does the same)."""
+    """Robust median-slope timing (cancels dispatch + fetch constants and
+    raises on unreliable measurements instead of clamping — see
+    runtime.profiling.slope_per_iter)."""
+    from distantspeech_tpu.runtime.profiling import slope_per_iter
+
     fn(*args)
     _sync(fn(*args))
+
+    def run(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            y = fn(*args)
+        _sync(y)
+        return time.perf_counter() - t0
+
     n1 = 4
-    t0 = time.perf_counter()
-    for _ in range(n1):
-        y = fn(*args)
-    _sync(y)
-    t1 = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    for _ in range(n1 + iters):
-        y = fn(*args)
-    _sync(y)
-    t2 = time.perf_counter() - t0
-    return max((t2 - t1) / iters, 1e-9)
+    pairs = ((n1, n1 + iters), (n1 + 2, n1 + iters + 4), (n1 + 4, n1 + iters + 8))
+    per, _ = slope_per_iter(run, pairs=pairs)
+    return per
 
 
 def bench_stft():

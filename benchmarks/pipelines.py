@@ -18,9 +18,11 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def _throughput(f, x, audio_seconds, n1=2, n2=8):
+def _throughput(f, x, audio_seconds, ceiling=1.0e6):
     import jax
     import jax.numpy as jnp
+
+    from distantspeech_tpu.runtime.profiling import slope_per_iter
 
     def timed(n):
         t0 = time.perf_counter()
@@ -33,7 +35,10 @@ def _throughput(f, x, audio_seconds, n1=2, n2=8):
 
     timed(1)
     timed(1)
-    per = max((timed(n2) - timed(n1)) / (n2 - n1), 1e-9)
+    # robust median slope: raises instead of reporting garbage (see profiling)
+    per, _ = slope_per_iter(
+        timed, pairs=((1, 4), (2, 6), (2, 8)), min_per_iter=audio_seconds / ceiling
+    )
     return audio_seconds / per
 
 

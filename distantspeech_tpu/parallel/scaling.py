@@ -19,6 +19,7 @@ from distantspeech_tpu.array.geometry import ArrayGeometry
 from distantspeech_tpu.beamform.enhance import EnhanceConfig
 from distantspeech_tpu.parallel.mesh import make_mesh
 from distantspeech_tpu.parallel.sharded import make_sharded_enhance
+from distantspeech_tpu.runtime.profiling import slope_per_iter
 
 
 def measure_scaling(
@@ -59,8 +60,12 @@ def measure_scaling(
 
         timed(1)
         timed(1)
-        t1, t2 = timed(max(1, iters // 3)), timed(iters)
-        per = max((t2 - t1) / (iters - max(1, iters // 3)), 1e-9)
+        n1 = max(1, iters // 3)
+        per, _ = slope_per_iter(
+            timed,
+            pairs=((n1, iters), (n1 + 1, iters + 1), (n1 + 2, iters + 2)),
+            min_per_iter=B * seconds / 1.0e6,
+        )
         results.append(
             {
                 "mesh": f"{dp}x{fb}",

@@ -44,10 +44,60 @@ class Timer:
         return self.audio_seconds / self.elapsed if self.elapsed else float("inf")
 
 
-def benchmark(fn: Callable, *args, iters: int = 8, warmup: int = 2) -> Dict[str, float]:
-    """Measure a jitted fn with slope timing + forcing readback.
+class TimingError(RuntimeError):
+    """A throughput measurement could not be made trustworthy."""
 
-    Returns {'per_call_s', 'calls_per_s'}.
+
+def slope_per_iter(
+    run: Callable[[int], float],
+    pairs=((1, 4), (2, 6), (3, 8)),
+    retries: int = 2,
+    min_per_iter: float = 0.0,
+    log: Optional[Callable[[str], None]] = None,
+) -> tuple:
+    """Robust slope timing: per-iteration cost as the median slope over
+    several iteration pairs.
+
+    ``run(n)`` must execute ``n`` iterations and synchronise (a forcing
+    device->host fetch on the axon tunnel — ``block_until_ready`` returns
+    early there).  The slope ``(run(n2) - run(n1)) / (n2 - n1)`` cancels the
+    fixed dispatch+fetch overhead.
+
+    Unlike a bare two-point slope, this harness CANNOT silently emit
+    garbage: any non-positive or non-finite slope, or a median below
+    ``min_per_iter`` (the physical sanity floor — an implied throughput
+    above the hardware roofline), restarts the whole measurement; after
+    ``retries`` restarts it raises ``TimingError``.  (The round-1 benchmark
+    clamped a negative slope to 1e-9 s and printed a physically impossible
+    1.28e11 audio-s/s; this utility exists so that cannot happen again.)
+
+    Returns ``(per_iter_seconds, n_retries)``.
+    """
+    if len(pairs) < 3:
+        raise ValueError(f"need >= 3 iteration pairs for a robust median, got {len(pairs)}")
+    last = None
+    for attempt in range(retries + 1):
+        slopes = []
+        for n1, n2 in pairs:
+            t1, t2 = run(n1), run(n2)
+            slopes.append((t2 - t1) / (n2 - n1))
+        per = float(np.median(slopes))
+        ok = all(np.isfinite(s) and s > 0.0 for s in slopes) and per >= min_per_iter
+        if ok:
+            return per, attempt
+        last = slopes
+        if log is not None:
+            log(f"slope_per_iter retry {attempt + 1}/{retries}: slopes={['%.3g' % s for s in slopes]}")
+    raise TimingError(
+        f"unreliable timing after {retries + 1} attempts: slopes={last} "
+        f"(min_per_iter={min_per_iter:.3g}s); refusing to report a throughput"
+    )
+
+
+def benchmark(fn: Callable, *args, iters: int = 8, warmup: int = 2) -> Dict[str, float]:
+    """Measure a jitted fn with robust slope timing + forcing readback.
+
+    Returns {'per_call_s', 'calls_per_s', 'retries'}.
     """
     for _ in range(warmup):
         out = fn(*args)
@@ -60,10 +110,10 @@ def benchmark(fn: Callable, *args, iters: int = 8, warmup: int = 2) -> Dict[str,
         _sync(out)
         return time.perf_counter() - t0
 
-    n1, n2 = max(1, iters // 4), iters
-    t1, t2 = run(n1), run(n2)
-    per = max((t2 - t1) / (n2 - n1), 1e-9)
-    return {"per_call_s": per, "calls_per_s": 1.0 / per}
+    base = max(1, iters // 4)
+    pairs = ((base, iters), (base + 1, iters + base), (base + 2, iters + 2 * base))
+    per, retries = slope_per_iter(run, pairs=pairs)
+    return {"per_call_s": per, "calls_per_s": 1.0 / per, "retries": float(retries)}
 
 
 def _sync(out: Any) -> None:
