@@ -4,10 +4,9 @@ Oracle: Wpe.update (/root/reference/DistantSpeech/dereverberation/awpe.py:129-19
 — the variance-normalised RLS recursion over a D-frame-delayed [bin, C*N]
 regressor, per-channel prediction-filter update, dereverberated output =
 prediction error.  (The reference class is bit-rotted at HEAD — its
-``check_input_data`` helper no longer exists — so the recursion itself,
-which is intact and fully bin-vectorised, is the oracle; tests validate the
-semantics functionally and against a NumPy transliteration of that
-recursion.)
+``check_input_data`` helper no longer exists; tests restore it via
+refutil.patch_wpe and assert frame-exact parity against Wpe.update itself,
+tests/test_subband_af.py::test_wpe_matches_reference.)
 
 Structure per frame:
     X  = [taps of the D-frame-delayed spectra]   [..., F, C*N]

@@ -185,6 +185,28 @@ def restore_delayline():
 
 
 @functools.lru_cache(maxsize=None)
+def patch_wpe():
+    """Reference bit-rot shim: Wpe.update calls ``self.check_input_data``
+    (awpe.py:156), which no longer exists anywhere in the reference.  Restore
+    it with the semantics its sibling ``SubbandAF.update_input_data``
+    (SubbandAF.py:53-60) implies: time-domain float inputs are run through
+    the class's two subband analysis filterbanks and flag a time-domain
+    return; subband-domain inputs pass through untouched."""
+    awpe = load("DistantSpeech.dereverberation.awpe")
+    if not hasattr(awpe.Wpe, "check_input_data"):
+
+        def check_input_data(self, x_n, d_n):
+            if "float" in str(np.asarray(x_n).dtype) and "float" in str(np.asarray(d_n).dtype):
+                x_n = np.squeeze(self.transform_x.analysis(x_n))
+                d_n = np.squeeze(self.transform_d.analysis(d_n))
+                self.return_td = True
+            return x_n, d_n
+
+        awpe.Wpe.check_input_data = check_input_data
+    return awpe
+
+
+@functools.lru_cache(maxsize=None)
 def patch_beamformer_base():
     """Compat shim: FixedBeamformer/adaptivebeamfomer at reference HEAD pass
     c=/fs=/r= kwargs their base beamformer.__init__ no longer accepts

@@ -70,11 +70,23 @@ def test_srp_finds_source_direction():
 
 
 def test_ds_beamformer_array_gain(scene):
+    """DS weights must deliver the theoretical white-noise array gain
+    (10 log10 M = 6.02 dB for 4 mics, every bin) and positive directivity
+    against diffuse noise in the non-aliased band — actual array gain, not
+    just finiteness."""
+    from distantspeech_tpu.stats.metrics import wng_di
+
     geom, src, mix = scene
     cfg = FixedBeamformerConfig(weight_type="DS")
     W = fixed_beamformer_weights(geom, (90.0, 0.0), cfg)
     y = np.asarray(fixed_process(jnp.asarray(mix), jnp.asarray(W), cfg.stft))
     assert np.isfinite(y).all() and y.shape == (mix.shape[1],)
+
+    wng, di = wng_di(geom, jnp.asarray(W), (90.0, 0.0), cfg.stft.n_fft)
+    np.testing.assert_allclose(np.asarray(wng), 10 * np.log10(4), atol=0.01)
+    # diffuse-noise gain: positive once the array is not sub-wavelength
+    # (5 cm spacing -> above ~1 kHz, bins >= 16 of 129)
+    assert np.all(np.asarray(di)[16:] > 0.0), np.asarray(di)[16:].min()
 
 
 def test_pmwf_pipeline_enhances(scene):
@@ -92,4 +104,4 @@ def test_pmwf_pipeline_enhances(scene):
 
     best_in = max(si_sdr(mix[0][l:], src[: len(src) - l]) for l in range(0, 400))
     best_out = max(si_sdr(y[l:], src[: len(src) - l]) for l in range(0, 400))
-    assert best_out > best_in - 1.0, (best_in, best_out)  # no catastrophic distortion
+    assert best_out > best_in + 1.0, (best_in, best_out)  # actual enhancement

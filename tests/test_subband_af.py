@@ -90,38 +90,43 @@ def test_subband_rls_parity():
     np.testing.assert_allclose(np.asarray(st.W), ref.W, rtol=1e-8, atol=1e-10)
 
 
-def _wpe_numpy_oracle(cfg, D_tf):
-    """Direct NumPy transliteration of Wpe.update's recursion (awpe.py:129-196)."""
-    T, F, C = D_tf.shape
-    N = cfg.filter_len
-    W = np.zeros((F, C, C * N), dtype=complex)
-    buf = np.zeros((F, C, N), dtype=complex)
-    P = np.tile(np.eye(C * N, dtype=complex) * cfg.p_init, (F, 1, 1))
-    var = np.zeros(F)
-    lam = cfg.forgetting_factor
-    out = np.zeros_like(D_tf)
-    delayed = np.concatenate([np.zeros_like(D_tf[: cfg.delay]), D_tf[: -cfg.delay]], axis=0)
-    for t in range(T):
-        d = D_tf[t]
-        buf = np.concatenate([delayed[t][..., None], buf[..., :-1]], axis=-1)
-        X = buf.reshape(F, C * N)
-        e = d - np.einsum("fmi,fi->fm", W.conj(), X)
-        var = cfg.alpha_var * var + (1 - cfg.alpha_var) * np.abs(np.einsum("fc,fc->f", d.conj(), d)) / C
-        num = np.einsum("fij,fj->fi", P, X)
-        kn = num / (lam * var[:, None] + np.sum(X.conj() * num, axis=-1, keepdims=True))
-        P = (P - np.einsum("fj,fl,flk->fjk", kn, X.conj(), P)) / lam
-        W = W + e.conj()[..., None] * kn[:, None, :]
-        out[t] = e
-    return out
+def test_wpe_matches_reference():
+    """End-to-end parity against the reference Wpe module itself
+    (awpe.py:129-196; its missing ``check_input_data`` helper is restored by
+    refutil.patch_wpe): per-hop time-domain drive, comparing the final
+    prediction filters W frame-exactly and the synthesized time-domain
+    output of the dereverberated reference channel."""
+    awpe = refutil.patch_wpe()
 
+    C, N, delay = 2, 2, 2
+    num_bands, hop = 64, 32
+    cfg = WpeConfig(num_bands=num_bands, hop=hop, n_channels=C, filter_len=N, delay=delay)
+    T = 60
+    rng = np.random.default_rng(8)
+    x = rng.standard_normal((T * hop, C)) * 0.3
 
-def test_wpe_matches_numpy_oracle():
-    cfg = WpeConfig(num_bands=64, hop=32, n_channels=2, filter_len=2, delay=2)
-    T, F, C = 40, cfg.half_bin, 2
-    D = _cplx((T, F, C), 8)
-    want = _wpe_numpy_oracle(cfg, D)
-    got = np.asarray(wpe_run(cfg, jnp.asarray(D)))
-    np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+    ref = awpe.Wpe(channels=C, filter_len=N, num_bands=num_bands, delay=delay, hop_length=hop)
+    outs = []
+    for n in range(T):
+        out, W_ref = ref.update(x[n * hop : (n + 1) * hop])
+        outs.append(out)
+    y_ref = np.concatenate(outs)
+
+    y_ours = np.asarray(wpe_process(jnp.asarray(x.T), cfg))
+    np.testing.assert_allclose(y_ours[: len(y_ref)], y_ref, rtol=1e-8, atol=1e-10)
+
+    # final prediction filters must match too (the full recursion state)
+    from distantspeech_tpu.derev.wpe import wpe_init, wpe_step
+    from distantspeech_tpu.transform.subband import subband_analysis
+
+    Y = subband_analysis(jnp.asarray(x.T), cfg.subband)  # [C, T, F]
+    D_tf = jnp.moveaxis(jnp.moveaxis(Y, -3, -1), -3, 0)
+    delayed = jnp.concatenate([jnp.zeros_like(D_tf[:delay]), D_tf[:-delay]], axis=0)
+    state = wpe_init(cfg, cdtype=jnp.complex128)
+    import jax
+
+    state, _ = jax.lax.scan(lambda s, dd: wpe_step(cfg, s, dd[0], dd[1]), state, (D_tf, delayed))
+    np.testing.assert_allclose(np.asarray(state.W), W_ref, rtol=1e-8, atol=1e-10)
 
 
 def test_wpe_reduces_late_reverb():
