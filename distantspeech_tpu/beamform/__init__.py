@@ -1,6 +1,6 @@
 from distantspeech_tpu.beamform.fixed import FixedBeamformerConfig, fixed_beamformer_weights, fixed_process
 from distantspeech_tpu.beamform.mvdr import MvdrConfig, mvdr_init, mvdr_process, mvdr_step
-from distantspeech_tpu.beamform.gsc import GscConfig, GscState, gsc_init, gsc_process, gsc_steering, gsc_step
+from distantspeech_tpu.beamform.gsc import GscConfig, GscState, gsc_init, gsc_process, gsc_process_time, gsc_steering, gsc_step
 from distantspeech_tpu.beamform.gsc_filters import aic_step, bm_bounds, bm_step
 from distantspeech_tpu.beamform.tdgsc import TdGscConfig, TdGscState, tdgsc_init, tdgsc_process, tdgsc_step
 from distantspeech_tpu.beamform.fdgsc import FdGscConfig, FdGscState, fdgsc_init, fdgsc_process, fdgsc_step

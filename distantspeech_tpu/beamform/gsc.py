@@ -121,3 +121,45 @@ def gsc_process(
     _, Y = jax.lax.scan(lambda s, z: gsc_step(cfg, a.astype(z.dtype), s, z), state, Zt)
     Y = jnp.moveaxis(Y, 0, -2)  # [..., T, F]
     return synthesis(Y, cfg.stft)
+
+
+def gsc_process_time(
+    x: jnp.ndarray,
+    geometry: ArrayGeometry,
+    angle_rad=(197.0 / 180.0 * np.pi, 0.0),
+    frame_len: int = 256,
+    fir_truncate: int = 30,
+) -> jnp.ndarray:
+    """Time-domain GSC path (``GSC.process1``, GSC.py:145-173): DC-notch
+    each mic, fractional-delay time alignment, mean fixed beamformer,
+    adjacent-difference blocking matrix, causal FLMS interference canceller
+    at full adaptation rate (no SPP gating — the difference from TDGSC,
+    whose canceller steps by 1-p and runs non-causal, TDGSC.py:37).
+
+    x: [..., M, S] -> [..., S'] with S' = frame_len * (S // frame_len).
+    """
+    from distantspeech_tpu.adaptive.feature import dc_notch, dc_notch_init
+    from distantspeech_tpu.adaptive.flms import FlmsConfig, flms_init, flms_step
+    from distantspeech_tpu.array.alignment import time_alignment_filters
+    from distantspeech_tpu.ops.fir import fir_filter_offline
+
+    L = frame_len
+    M = x.shape[-2]
+    _, xn = dc_notch(dc_notch_init(x.shape[:-1], dtype=x.dtype), x, radius=0.98)
+    coeffs = jnp.asarray(time_alignment_filters(geometry, angle_rad), dtype=x.dtype)
+    aligned = fir_filter_offline(xn, coeffs)  # [..., M, S]
+    fbf = jnp.mean(aligned, axis=-2)  # [..., S]
+    bm = aligned[..., :-1, :] - aligned[..., 1:, :]  # [..., M-1, S]
+
+    T = x.shape[-1] // L
+    fbf_blocks = jnp.moveaxis(fbf[..., : T * L].reshape(*fbf.shape[:-1], T, L), -2, 0)
+    bm_blocks = jnp.moveaxis(bm[..., : T * L].reshape(*bm.shape[:-1], T, L), -2, 0)
+
+    aic = FlmsConfig(filter_len=L, n_channels=M - 1)  # causal, defaults (GSC.py:84)
+    state = flms_init(aic, batch_shape=x.shape[:-2], dtype=x.dtype)
+    _, (out, _) = jax.lax.scan(
+        lambda s, fb: flms_step(aic, s, fb[1], fb[0], fir_truncate=fir_truncate),
+        state,
+        (fbf_blocks, bm_blocks),
+    )
+    return jnp.moveaxis(out, 0, -2).reshape(*x.shape[:-2], T * L)

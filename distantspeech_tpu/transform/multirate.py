@@ -41,31 +41,46 @@ def resample(x: np.ndarray, p: int, q: int) -> np.ndarray:
     return x_ds[: int(np.floor(x.shape[0] * p / q))]
 
 
-def frac_delay(delta: float, N: int, w_max: float = 0.9, C: int = 4) -> np.ndarray:
-    """Convex-optimal fractional-delay filter (multirate.py:54-113).
+def frac_delay(
+    delta: float, N: int, w_max: float = 0.9, C: int = 4, iters: int = 200, tol: float = 1e-12
+) -> np.ndarray:
+    """Minimax-optimal fractional-delay FIR (multirate.py:54-113 semantics:
+    Putnam & Smith, "Design of Fractional Delay Filters Using Convex
+    Optimization").
 
-    Requires cvxopt (not in this image) — raises ImportError with the same
-    guidance as the reference if absent; the windowed-sinc bank
-    (``array.alignment.fractional_delay_filter_bank``) is the supported path.
+    The reference solves the epigraph SOCP ``min t s.t.
+    |F(w_i) h - e^(-j w_i delta)| <= t`` with cvxopt; cvxopt is not in this
+    image, so the same Chebyshev solution is computed with Lawson's
+    iteratively-reweighted least squares — each iteration is one small
+    [2*C*N, N] real ``lstsq`` and the weight fixed point is exactly the
+    minimax optimum on the constraint grid.  Deterministic, scipy/NumPy
+    only.
     """
-    try:
-        from cvxopt import matrix, solvers
-    except ImportError as e:  # pragma: no cover - optional dependency
-        raise ImportError("frac_delay requires the cvxopt module; use array.alignment instead") from e
-
     N_C = int(C * N)
-    w = np.linspace(0, w_max * np.pi, N_C)[:, None]
+    w = np.linspace(0, w_max * np.pi, N_C)
     n = np.arange(N)
-    f = np.concatenate((np.zeros(N), np.ones(1)))
-    A, b = [], []
-    for i in range(N_C):
-        Anp = np.concatenate(([np.cos(w[i] * n), -np.sin(w[i] * n)], [[0], [0]]), axis=1)
-        Anp = np.concatenate(([-f], Anp), axis=0)
-        A.append(matrix(Anp))
-        b.append(matrix(np.concatenate(([0], np.cos(w[i] * delta), -np.sin(w[i] * delta)))))
-    solvers.options["show_progress"] = False
-    sol = solvers.socp(matrix(f), Gq=A, hq=b)
-    return np.array(sol["x"])[:-1, 0]
+    F = np.exp(-1j * w[:, None] * n)  # [N_C, N]
+    d = np.exp(-1j * w * delta)
+
+    # stacked real system: rows (Re; Im) of F h = d
+    A = np.concatenate([F.real, F.imag], axis=0)
+    y = np.concatenate([d.real, d.imag])
+
+    wt = np.ones(N_C)
+    h = None
+    prev = np.inf
+    for _ in range(iters):
+        sw = np.concatenate([np.sqrt(wt), np.sqrt(wt)])  # same weight for the (Re, Im) rows
+        h, *_ = np.linalg.lstsq(A * sw[:, None], y * sw, rcond=None)
+        err = np.abs(F @ h - d)
+        # Lawson update: w_i <- w_i * |e_i|, renormalised
+        wt = wt * np.maximum(err, 1e-30)
+        wt /= wt.sum()
+        emax = err.max()
+        if abs(prev - emax) < tol * max(emax, 1e-30):
+            break
+        prev = emax
+    return h
 
 
 def overlap_save(signal: jnp.ndarray, filt: jnp.ndarray, stride: int = 4, pad_start: bool = True) -> jnp.ndarray:

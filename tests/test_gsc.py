@@ -170,3 +170,20 @@ def test_gsc_normalized_aic_stable_f32():
     xc = jnp.asarray(np.tile(burst, (4, 1)) + 0.3 * rng.standard_normal((4, 16000)).astype(np.float32))
     yc = np.asarray(gsc_process(xc, geom, (np.pi / 2, 0.0), cfg))
     assert np.isfinite(yc).all()
+
+
+def test_gsc_process1_parity():
+    """Time-domain GSC path (GSC.process1, GSC.py:145-173): DC-notch ->
+    alignment -> mean FBF -> adjacent-difference BM -> causal full-rate
+    FLMS, frame-exact vs the reference."""
+    from distantspeech_tpu.beamform import gsc_process_time
+
+    mic = _mic_array()
+    mod = refutil.load("DistantSpeech.beamformer.GSC")
+    ref = mod.GSC(mic, frameLen=256, angle=[197, 0])
+    x = _scene(M=4, S=256 * 16, seed=6)
+    out_ref = ref.process1(x.T.copy())
+
+    geom = ArrayGeometry.circular(4, 0.032, c=343.0)
+    out = np.asarray(gsc_process_time(jnp.asarray(x), geom, (197.0 / 180.0 * np.pi, 0.0)))
+    np.testing.assert_allclose(out, out_ref[: len(out)], rtol=1e-6, atol=1e-8)

@@ -56,6 +56,45 @@ def test_low_pass_and_resample():
     assert np.isfinite(y).all()
 
 
+def test_frac_delay_minimax():
+    """frac_delay solves the Putnam-Smith Chebyshev design (reference
+    multirate.py:54-113) without cvxopt: the minimax objective must match
+    an independent SLSQP solve of the same SOCP epigraph to <1%, beat the
+    windowed-sinc design, and recover an exact impulse for integer delay."""
+    from scipy.optimize import minimize
+
+    from distantspeech_tpu.transform.multirate import frac_delay
+
+    # integer delay has an exact solution (a shifted impulse, zero error)
+    h = frac_delay(3.0, 8)
+    np.testing.assert_allclose(h, np.eye(8)[3], atol=1e-9)
+
+    delta, N, C, w_max = 1.7, 8, 4, 0.9
+    N_C = C * N
+    w = np.linspace(0, w_max * np.pi, N_C)
+    F = np.exp(-1j * w[:, None] * np.arange(N))
+    d = np.exp(-1j * w * delta)
+
+    h = frac_delay(delta, N, w_max, C)
+    e = np.abs(F @ h - d).max()
+
+    cons = [
+        {"type": "ineq", "fun": (lambda x, i=i: x[-1] - abs(F[i] @ x[:-1] - d[i]))}
+        for i in range(N_C)
+    ]
+    r = minimize(
+        lambda x: x[-1], np.concatenate([h, [e * 1.5]]), constraints=cons,
+        method="SLSQP", options={"maxiter": 500, "ftol": 1e-14},
+    )
+    e_ref = np.abs(F @ r.x[:-1] - d).max()
+    assert e <= e_ref * 1.01, (e, e_ref)
+
+    # must beat the same-length windowed sinc over the design band
+    sinc = np.sinc(np.arange(N) - delta) * np.hanning(N)
+    e_sinc = np.abs(F @ sinc - d).max()
+    assert e < 0.5 * e_sinc, (e, e_sinc)
+
+
 def test_timer_and_metrics():
     with Timer("stft", audio_seconds=2.0) as t:
         sum(range(1000))
