@@ -124,9 +124,17 @@ def enhance_process(
 ) -> jnp.ndarray:
     """Offline MVDR+OM-LSA of a time-domain batch.  x: [..., M, S] -> [..., S].
 
-    backend: 'scan' (pure lax.scan, any batch shape / any device) or
-    'pallas' (fused TPU kernel fast path; needs x of shape [B, M, S])."""
+    backend: 'scan' (pure lax.scan, any batch shape / any device),
+    'pallas' (fused MVDR/OM-LSA kernel; needs x of shape [B, M, S]) or
+    'fused' (the fastest path — STFT through ISTFT in two Pallas calls with
+    in-kernel MCRA; needs [B, M, S] with B a multiple of 8 and n_fft a
+    multiple of 256; see ops.pallas_enhance)."""
     angle_rad = np.asarray(look_angle_deg, dtype=np.float64) / 180.0 * np.pi
+    if backend == "fused":
+        from distantspeech_tpu.ops.pallas_enhance import fused_enhance
+
+        steer_np = np.asarray(steering_vector(geometry, angle_rad, cfg.stft.n_fft), dtype=np.complex64)
+        return fused_enhance(x, steer_np, cfg)
     steer = jnp.asarray(steering_vector(geometry, angle_rad, cfg.stft.n_fft))
 
     X = analysis(x, cfg.stft)  # [..., M, T, F]

@@ -1,0 +1,318 @@
+"""Fully-fused flagship fast path: STFT -> MCRA -> MVDR -> OM-LSA -> ISTFT.
+
+Same math as ``beamform.enhance.enhance_scan`` (oracle:
+/root/reference/DistantSpeech/beamformer/adaptivebeamformer.py:44-128 +
+noise_estimation/mcra.py:27-77 + mcspp_base.py:140-156), restructured
+around what the round-2 profile showed:
+
+- the frame-recursion kernel is COMPUTE-bound (~50% of VPU), so the MCRA
+  recursion moves INSIDE it (a ~2% op-count increase) instead of running as
+  a separate ~0.5 ms jnp scan; only the 3-tap cross-bin smoothing stays
+  outside (one elementwise pass — it needs a frequency halo the per-bin
+  kernel doesn't have);
+- everything AROUND the kernel is HBM-bound, so the layout is chosen to
+  make every repack a free reshape: the windowed-DFT matmul writes
+  ``[T, M, B, 2F]`` f32 with a column permutation that puts the real parts
+  of bins 0..F-2 in lane-tile 0, the imaginary parts in lane-tile 1 and the
+  Nyquist bin at the tail — the Pallas BlockSpec index maps then slice
+  real/imag views straight out of the matmul output during the HBM->VMEM
+  DMA.  Zero transposes or pad copies on the hot tensor (the round-1 path
+  spent ~1.4 ms on them);
+- bins 0..F-2 fill the 128-lane axis exactly (fl = n_fft/2); batch items
+  fill sublanes 8 at a time, so B multiples of 8 pack with NO padding
+  waste (the round-1 joint (batch x bin) packing wasted 19% at B=32);
+  the Nyquist bin runs as one extra single-tile kernel call.
+
+The MCRA bin-edge semantics (interior bins 1..F-2, k=0 pinned p, k=F-1
+pinned noise floor) become lane-iota masks in the main call and a static
+``last_bin`` specialisation for the Nyquist call.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from distantspeech_tpu.ops.framing import frame_signal, overlap_add
+from distantspeech_tpu.ops.pallas_mvdr import _mvdr_frame
+
+_SUB = 8
+
+
+def _mcra_frame(tg, Yp, Sf_t, S, Smin, Stmp, Pp, Lam, interior, mask0,
+                *, L, alpha_s, alpha_p, alpha_d, delta_s, p_min, p_max):
+    """One MCRA frame on a vreg tile, bit-matching noise.mcra.mcra_step
+    (oracle mcra.py:27-77) for bins 0..F-2.  ``tg`` is the global frame
+    index (the scalar counters ell/frm_cnt are closed forms of it: the
+    minima window resets at tg % L == L-1, speech presence is forced to 0
+    for tg < 2L, frame 0 seeds).  Scratch: S, Smin, Stmp, Pp (clipped p),
+    Lam (noise PSD), all [8, fl]."""
+    is_first = tg == 0
+    reset = (tg % L) == (L - 1)
+
+    S_upd = alpha_s * S[...] + (1.0 - alpha_s) * Sf_t
+    S_new = jnp.where(interior, S_upd, S[...])
+
+    Smin1 = jnp.minimum(Smin[...], S_new)
+    Stmp1 = jnp.minimum(Stmp[...], S_new)
+    Smin2 = jnp.where(reset, jnp.minimum(Stmp1, S_new), Smin1)
+    Stmp2 = jnp.where(reset, S_new, Stmp1)
+    Smin_new = jnp.where(interior, Smin2, Smin[...])
+    Stmp_new = jnp.where(interior, Stmp2, Stmp[...])
+
+    Sr = S_new / (Smin_new + 1e-6)
+    I = (Sr > delta_s).astype(jnp.float32)
+    p_upd = alpha_p * Pp[...] + (1.0 - alpha_p) * I
+    p_upd = jnp.where(tg < 2 * L, jnp.zeros_like(p_upd), p_upd)
+    p_rec = jnp.where(interior, p_upd, Pp[...])
+    p_rec = jnp.where(mask0, jnp.zeros_like(p_rec), p_rec)
+
+    # frame-0 seeding (every main-call lane is a "lead" bin k <= F-2)
+    S_out = jnp.where(is_first, S[...], S_new)
+    Smin_out = jnp.where(is_first, Yp, Smin_new)
+    Stmp_out = jnp.where(is_first, Yp, Stmp_new)
+    p_sel = jnp.where(is_first, jnp.zeros_like(p_rec), p_rec)
+    p_out = jnp.clip(p_sel, p_min, p_max)
+
+    lam_pre = jnp.where(is_first, Yp, Lam[...])
+    alpha_t = alpha_d + (1.0 - alpha_d) * p_out
+    lam_out = alpha_t * lam_pre + (1.0 - alpha_t) * Yp
+
+    S[...] = S_out
+    Smin[...] = Smin_out
+    Stmp[...] = Stmp_out
+    Pp[...] = p_out
+    Lam[...] = lam_out
+    return p_out, lam_out
+
+
+def _enhance_kernel(
+    zr_ref, zi_ref, sf_ref, ar_ref, ai_ref,  # inputs
+    yr_ref, yi_ref,  # outputs
+    Rr, Ri, Ur, Ui, S, Smin, Stmp, Pp, Lam, Gh, Gam,  # scratch
+    *, Tc: int, M: int, fl: int,
+    L: int, alpha_s: float, alpha_p: float, alpha_d: float, delta_s: float,
+    p_min: float, p_max: float,
+    alpha_v: float, diag: float, rel_diag: float, p_vad: float,
+    alpha_xi: float, gmin: float, last_bin: bool,
+):
+    """The full flagship frame loop: in-kernel MCRA -> gated MVDR (LDL^H
+    solve) -> decision-directed OM-LSA gain, state resident in VMEM across
+    frame chunks.  ``last_bin=True`` specialises for the Nyquist bin: p is
+    pinned at its clip floor (it is never updated, mcra.py:44,70), the
+    noise PSD is pinned to 1e-8 before each update (mcra.py:73), and the
+    covariance gate is therefore always open."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        for ref in (Rr, Ri, Ur, Ui, S, Smin, Stmp, Pp, Lam):
+            ref[...] = jnp.zeros_like(ref)
+        Gh[...] = jnp.ones_like(Gh)
+        Gam[...] = jnp.ones_like(Gam)
+
+    ar = [ar_ref[m] for m in range(M)]
+    ai = [ai_ref[m] for m in range(M)]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_SUB, fl), 1)
+    interior = lane >= 1  # k in 1..F-2 (lane k=F-1 lives in the Nyquist call)
+    mask0 = lane == 0
+    log_gmin = float(np.log(gmin))
+    chunk_base = pl.program_id(1) * Tc  # hoisted: program_id binds at kernel top level
+
+    def frame(t, _):
+        tg = chunk_base + t
+        zr = [zr_ref[t, m] for m in range(M)]
+        zi = [zi_ref[t, m] for m in range(M)]
+
+        Yp = zr[0] * zr[0] + zi[0] * zi[0]
+        if last_bin:
+            p_out = jnp.full((_SUB, fl), p_min, jnp.float32)
+            alpha_t = alpha_d + (1.0 - alpha_d) * p_min
+            lam_out = alpha_t * 1e-8 + (1.0 - alpha_t) * Yp
+            upd = None  # p_min < p_vad: the gate is always open
+        else:
+            p_out, lam_out = _mcra_frame(
+                tg, Yp, sf_ref[t, 0], S, Smin, Stmp, Pp, Lam, interior, mask0,
+                L=L, alpha_s=alpha_s, alpha_p=alpha_p, alpha_d=alpha_d,
+                delta_s=delta_s, p_min=p_min, p_max=p_max,
+            )
+            upd = p_out < p_vad
+
+        yr, yi = _mvdr_frame(zr, zi, upd, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag, rel_diag)
+
+        gamma = (yr * yr + yi * yi) / jnp.maximum(lam_out, 1e-10)
+        xi = alpha_xi * Gh[...] ** 2 * Gam[...] + (1.0 - alpha_xi) * jnp.maximum(gamma - 1.0, 0.0)
+        G_H1 = xi / (1.0 + xi)
+        logG = p_out * jnp.log(jnp.maximum(G_H1, 1e-30)) + (1.0 - p_out) * log_gmin
+        G = jnp.clip(jnp.exp(logG), gmin, 1.0)
+        Gh[...] = G_H1
+        Gam[...] = gamma
+        yr_ref[t, 0] = yr * G
+        yi_ref[t, 0] = yi * G
+        return 0
+
+    jax.lax.fori_loop(0, Tc, frame, 0)
+
+
+def _pick_t_chunk(T: int, cap: int = 64):
+    """Largest divisor of T <= cap (so no frame padding is needed), or None
+    if every divisor is degenerate (< 8) and padding is the better deal."""
+    for tc in range(min(cap, T), 7, -1):
+        if T % tc == 0:
+            return tc
+    return None
+
+
+def fused_enhance(
+    x: jnp.ndarray,
+    steer: np.ndarray,
+    cfg,
+    interpret: bool = False,
+    t_chunk: int = None,
+) -> jnp.ndarray:
+    """Time-domain in/out flagship pipeline (EnhanceConfig semantics).
+
+    x: [B, M, S] with B % 8 == 0 and S % hop == 0; steer: [F, M] complex
+    (NumPy: it is embedded as a compiled constant — eager complex transfer
+    is unsupported on the axon tunnel).  Returns y [B, S].
+
+    Matches ``enhance_process(..., backend='scan')`` to float32 rounding;
+    bench.py gates on that parity on-device before timing.
+    """
+    from distantspeech_tpu.noise.mcra import _freq_smooth
+    from distantspeech_tpu.transform.stft import _dft_matrices, _idft_matrices
+
+    stft = cfg.stft
+    F = stft.half_bin
+    fl = F - 1
+    if fl % 128 != 0:
+        raise ValueError(f"fused_enhance needs n_fft a multiple of 256, got {stft.n_fft}")
+    if x.ndim != 3 or x.shape[0] % _SUB:
+        raise ValueError(f"fused_enhance needs x of shape [B, M, S] with B % 8 == 0, got {x.shape}")
+    B, M, S = x.shape
+    mv = cfg.mvdr
+    mc = mv.mcra
+    steer = np.asarray(steer)
+
+    # ---- analysis: one windowed-DFT matmul into the kernel's layout --------
+    # column order [cos 0..F-2 | sin 0..F-2 | cos F-1, sin F-1]: lane-tile 0
+    # of the output is the main-bin real plane, lane-tile 1 the imag plane,
+    # and the BlockSpec index maps read both straight from this one array.
+    C, Sn = _dft_matrices(stft)
+    CS = np.concatenate([C[:, :fl], Sn[:, :fl], C[:, fl:], Sn[:, fl:]], axis=1).astype(np.float32)
+    pad = [(0, 0), (0, 0), (stft.overlap, 0)]
+    frames = frame_signal(jnp.pad(x, pad), stft.n_fft, stft.hop)  # [B, M, T, L]
+    Y = jnp.einsum("bmtl,lk->tmbk", frames, jnp.asarray(CS), precision="highest")  # [T, M, B, 2F]
+    T = Y.shape[0]
+
+    tc = t_chunk or _pick_t_chunk(T)
+    if tc is None:  # awkward T: pad frames (the copy is the fallback, not the rule)
+        tc = 64
+        Tp = -(-T // tc) * tc
+        Y = jnp.pad(Y, [(0, Tp - T), (0, 0), (0, 0), (0, 0)])
+    Tp = Y.shape[0]
+    nb = B // _SUB
+
+    # ---- MCRA cross-bin smoothing (the only part with a frequency halo) ----
+    p0 = (
+        Y[:, 0, :, :fl] ** 2 + Y[:, 0, :, fl : 2 * fl] ** 2,  # bins 0..F-2
+        Y[:, 0, :, 2 * fl : 2 * fl + 1] ** 2 + Y[:, 0, :, 2 * fl + 1 :] ** 2,  # Nyquist
+    )
+    Sf = _freq_smooth(jnp.concatenate(p0, axis=-1), mc.b)[..., :fl]  # [Tp, B, fl]
+    Sf = Sf.reshape(Tp, nb, _SUB, fl)
+
+    # ---- steering as materialised vreg tiles (compiled constants) ----------
+    a_main_r = np.broadcast_to(np.real(steer[:fl]).T[:, None, :], (M, _SUB, fl)).astype(np.float32)
+    a_main_i = np.broadcast_to(np.imag(steer[:fl]).T[:, None, :], (M, _SUB, fl)).astype(np.float32)
+    a_nyq_r = np.broadcast_to(np.real(steer[fl])[:, None, None], (M, _SUB, fl)).astype(np.float32)
+    a_nyq_i = np.broadcast_to(np.imag(steer[fl])[:, None, None], (M, _SUB, fl)).astype(np.float32)
+
+    kern_kwargs = dict(
+        Tc=tc, M=M, fl=fl,
+        L=mc.L, alpha_s=mc.alpha_s, alpha_p=mc.alpha_p, alpha_d=mc.alpha_d,
+        delta_s=mc.delta_s, p_min=mc.p_min, p_max=mc.p_max,
+        alpha_v=mv.alpha_v, diag=mv.diag, rel_diag=mv.rel_diag, p_vad=mv.p_vad,
+        alpha_xi=cfg.alpha_xi, gmin=cfg.gmin,
+    )
+    scratch = [
+        pltpu.VMEM((M, M, _SUB, fl), jnp.float32),
+        pltpu.VMEM((M, M, _SUB, fl), jnp.float32),
+        pltpu.VMEM((M, _SUB, fl), jnp.float32),
+        pltpu.VMEM((M, _SUB, fl), jnp.float32),
+    ] + [pltpu.VMEM((_SUB, fl), jnp.float32)] * 7
+    tspec = pl.BlockSpec((tc, 1, _SUB, fl), lambda n, t: (t, n, 0, 0), memory_space=pltpu.VMEM)
+    aspec = pl.BlockSpec((M, _SUB, fl), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((Tp, nb, _SUB, fl), jnp.float32),
+        jax.ShapeDtypeStruct((Tp, nb, _SUB, fl), jnp.float32),
+    ]
+
+    # ---- main call: bins 0..F-2, grid (batch-blocks, frame-chunks) ---------
+    # zr/zi are two views of the SAME matmul output, sliced by the index map
+    # during the block DMA (lane-tile 0 = real, lane-tile 1 = imag).
+    zspec_r = pl.BlockSpec((tc, M, _SUB, fl), lambda n, t: (t, 0, n, 0), memory_space=pltpu.VMEM)
+    zspec_i = pl.BlockSpec((tc, M, _SUB, fl), lambda n, t: (t, 0, n, 1), memory_space=pltpu.VMEM)
+    yr, yi = pl.pallas_call(
+        partial(_enhance_kernel, last_bin=False, **kern_kwargs),
+        grid=(nb, Tp // tc),
+        in_specs=[zspec_r, zspec_i, tspec, aspec, aspec],
+        out_specs=[tspec, tspec],
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(Y, Y, Sf, jnp.asarray(a_main_r), jnp.asarray(a_main_i))
+
+    # ---- Nyquist call: one tile, batch packed (sublane = b%8, lane = b//8) -
+    zn = Y[:, :, :, 2 * fl :]  # [Tp, M, B, 2]
+    zn = zn.reshape(Tp, M, nb, _SUB, 2)  # b = lane*8 + sublane
+    zn = jnp.transpose(zn, (0, 1, 4, 3, 2))  # [Tp, M, (r|i), 8, b//8]
+    zn = jnp.pad(zn, [(0, 0)] * 4 + [(0, fl - nb)])  # plane 0 = real, 1 = imag
+    nyspec_r = pl.BlockSpec((tc, M, 1, _SUB, fl), lambda n, t: (t, 0, 0, 0, 0), memory_space=pltpu.VMEM)
+    nyspec_i = pl.BlockSpec((tc, M, 1, _SUB, fl), lambda n, t: (t, 0, 1, 0, 0), memory_space=pltpu.VMEM)
+    sf_dummy = jnp.zeros((Tp, 1, _SUB, fl), jnp.float32)
+    ynr, yni = pl.pallas_call(
+        partial(_nyq_kernel, **kern_kwargs),
+        grid=(1, Tp // tc),
+        in_specs=[nyspec_r, nyspec_i, tspec, aspec, aspec],
+        out_specs=[tspec, tspec],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, 1, _SUB, fl), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, 1, _SUB, fl), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(zn, zn, sf_dummy, jnp.asarray(a_nyq_r), jnp.asarray(a_nyq_i))
+
+    # ---- synthesis: free reshapes back, one inverse-DFT matmul -------------
+    yr = yr[:T].reshape(T, B, fl)
+    yi = yi[:T].reshape(T, B, fl)
+    ynr = jnp.moveaxis(ynr[:T, 0, :, :nb], 2, 1).reshape(T, B, 1)
+    yni = jnp.moveaxis(yni[:T, 0, :, :nb], 2, 1).reshape(T, B, 1)
+    Yri = jnp.concatenate([yr, ynr, yi, yni], axis=-1)  # [T, B, 2F], bin order (r|i)
+    A, Bm = _idft_matrices(stft)
+    AB = jnp.asarray(np.concatenate([A, Bm], axis=0).astype(np.float32))
+    out_frames = jnp.einsum("tbk,kl->btl", Yri, AB, precision="highest")  # [B, T, L]
+    y = overlap_add(out_frames, stft.hop)
+    return y[..., : stft.hop * T] * jnp.asarray(stft.synthesis_gain, y.dtype)
+
+
+def _nyq_kernel(zr_ref, zi_ref, sf_ref, ar_ref, ai_ref, yr_ref, yi_ref, *refs, **kw):
+    """Nyquist-bin call: same kernel, 5-D z refs (the extra plane axis
+    selects real/imag), last_bin specialisation."""
+
+    def squeeze_view(ref):
+        class _V:
+            def __getitem__(self, idx):
+                t, m = idx
+                return ref[t, m, 0, :, :]
+
+        return _V()
+
+    _enhance_kernel(
+        squeeze_view(zr_ref), squeeze_view(zi_ref), sf_ref, ar_ref, ai_ref,
+        yr_ref, yi_ref, *refs, last_bin=True, **kw,
+    )

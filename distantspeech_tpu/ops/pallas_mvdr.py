@@ -43,7 +43,7 @@ def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
 
 
-def _mvdr_frame(zr, zi, g, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag, rel_diag=0.0):
+def _mvdr_frame(zr, zi, upd, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag, rel_diag=0.0):
     """One MVDR frame on vreg tiles: gated hermitian rank-1 update of the
     lower triangle of R, then u = (R + load I)^-1 a via an unrolled LDL^H
     factorisation and two triangular solves — O(M^3/6) complex muls and no
@@ -54,10 +54,14 @@ def _mvdr_frame(zr, zi, g, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag, rel_diag=0.
     load = diag + rel_diag * tr(R)/M, matching ``MvdrConfig.rel_diag``
     (the complex64 production guard; beamform/mvdr.py:96-100).
 
-    zr/zi: [M, 8, Ft]; g: [8, Ft]; ar/ai: [M, 8, Ft]; scratch refs Rr/Ri
-    [M, M, 8, Ft], Ur/Ui [M, 8, Ft]."""
+    zr/zi: [M, 8, Ft] (or any per-mic indexable of [8, Ft] tiles);
+    upd: bool [8, Ft] covariance-update gate, or None for unconditional
+    updates; ar/ai: [M, 8, Ft]; scratch refs Rr/Ri [M, M, 8, Ft],
+    Ur/Ui [M, 8, Ft]."""
     beta = 1.0 - alpha_v
-    upd = g > 0.5
+
+    def gated(new, old):
+        return new if upd is None else jnp.where(upd, new, old)
 
     # --- gated hermitian rank-1 update, lower triangle only ----------------
     # (mvdr_step:82-88; R[i][j] for i>j, real diagonal in Rr[j][j])
@@ -65,12 +69,12 @@ def _mvdr_frame(zr, zi, g, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag, rel_diag=0.
         for j in range(i + 1):
             if i == j:
                 out = zr[i] * zr[i] + zi[i] * zi[i]
-                Rr[i, i] = jnp.where(upd, alpha_v * Rr[i, i] + beta * out, Rr[i, i])
+                Rr[i, i] = gated(alpha_v * Rr[i, i] + beta * out, Rr[i, i])
             else:
                 outr = zr[i] * zr[j] + zi[i] * zi[j]
                 outi = zi[i] * zr[j] - zr[i] * zi[j]
-                Rr[i, j] = jnp.where(upd, alpha_v * Rr[i, j] + beta * outr, Rr[i, j])
-                Ri[i, j] = jnp.where(upd, alpha_v * Ri[i, j] + beta * outi, Ri[i, j])
+                Rr[i, j] = gated(alpha_v * Rr[i, j] + beta * outr, Rr[i, j])
+                Ri[i, j] = gated(alpha_v * Ri[i, j] + beta * outi, Ri[i, j])
 
     load = diag
     if rel_diag:
@@ -122,11 +126,11 @@ def _mvdr_frame(zr, zi, g, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag, rel_diag=0.
 
     # --- hold u for gate-off frames (the reference holds Rvv_inv) ----------
     for i in range(M):
-        Ur[i] = jnp.where(upd, ur[i], Ur[i])
-        Ui[i] = jnp.where(upd, ui[i], Ui[i])
+        Ur[i] = gated(ur[i], Ur[i])
+        Ui[i] = gated(ui[i], Ui[i])
 
     # --- y = w^H z with w = u / (a^H u) (mvdr_step:90-91) ------------------
-    shp = g.shape
+    shp = zr[0].shape
     den_r = jnp.zeros(shp, dtype=jnp.float32)
     den_i = jnp.zeros(shp, dtype=jnp.float32)
     for r in range(M):
@@ -161,7 +165,7 @@ def _mvdr_kernel(
 
     def frame(t, _):
         yr, yi = _mvdr_frame(
-            zr_ref[0, t], zi_ref[0, t], gate_ref[0, t], ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag, rel_diag
+            zr_ref[0, t], zi_ref[0, t], gate_ref[0, t] > 0.5, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag, rel_diag
         )
         yr_ref[0, t] = yr
         yi_ref[0, t] = yi
@@ -196,7 +200,7 @@ def _mvdr_omlsa_kernel(
 
     def frame(t, _):
         yr, yi = _mvdr_frame(
-            zr_ref[0, t], zi_ref[0, t], gate_ref[0, t], ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag, rel_diag
+            zr_ref[0, t], zi_ref[0, t], gate_ref[0, t] > 0.5, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag, rel_diag
         )
         p = p_ref[0, t]  # [8, Ft]
         lam = jnp.maximum(lam_ref[0, t], 1e-10)

@@ -1,0 +1,61 @@
+"""Interpreter-mode exactness of the fully-fused flagship fast path
+(ops.pallas_enhance) against the pure scan pipeline."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from distantspeech_tpu.array.geometry import ArrayGeometry
+from distantspeech_tpu.array.steering import steering_vector
+from distantspeech_tpu.beamform.enhance import EnhanceConfig, enhance_process
+from distantspeech_tpu.beamform.mvdr import MvdrConfig
+from distantspeech_tpu.ops.pallas_enhance import fused_enhance
+
+
+def _scene(B, M, S, seed=0):
+    rng = np.random.default_rng(seed)
+    t = np.arange(S) / 16000
+    env = (np.sin(2 * np.pi * 1.3 * t) > 0).astype(np.float32)
+    tgt = (env * rng.standard_normal(S)).astype(np.float32)
+    x = 0.3 * rng.standard_normal((B, M, S)).astype(np.float32) + tgt[None, None, :]
+    return x
+
+
+@pytest.mark.parametrize("rel_diag", [0.0, 1e-3])
+def test_fused_enhance_matches_scan(rel_diag):
+    B, M, S = 8, 4, 128 * 40
+    cfg = EnhanceConfig(mvdr=MvdrConfig(mcra_L=15, rel_diag=rel_diag))
+    geom = ArrayGeometry.linear(M, 0.032)
+    x = jnp.asarray(_scene(B, M, S))
+    steer = np.asarray(
+        steering_vector(geom, np.array([np.pi / 2, 0.0]), cfg.stft.n_fft), dtype=np.complex64
+    )
+
+    want = np.asarray(enhance_process(x, geom, (90.0, 0.0), cfg, backend="scan"))
+    got = np.asarray(fused_enhance(x, steer, cfg, interpret=True))
+    assert got.shape == want.shape
+    scale = np.max(np.abs(want))
+    np.testing.assert_allclose(got, want, atol=2e-3 * scale, rtol=2e-3)
+
+
+def test_fused_enhance_t_chunk_padding():
+    """T with no usable divisor exercises the frame-padding fallback."""
+    B, M = 8, 2
+    T = 37  # prime-ish frame count
+    cfg = EnhanceConfig(mvdr=MvdrConfig(mcra_L=15))
+    geom = ArrayGeometry.linear(M, 0.032)
+    x = jnp.asarray(_scene(B, M, 128 * T, seed=1))
+    steer = np.asarray(
+        steering_vector(geom, np.array([np.pi / 2, 0.0]), cfg.stft.n_fft), dtype=np.complex64
+    )
+    want = np.asarray(enhance_process(x, geom, (90.0, 0.0), cfg, backend="scan"))
+    got = np.asarray(fused_enhance(x, steer, cfg, interpret=True))
+    scale = np.max(np.abs(want))
+    np.testing.assert_allclose(got, want, atol=2e-3 * scale, rtol=2e-3)
+
+
+def test_fused_enhance_validation():
+    cfg = EnhanceConfig()
+    x = jnp.zeros((6, 2, 1280), jnp.float32)  # B not a multiple of 8
+    with pytest.raises(ValueError, match="B % 8"):
+        fused_enhance(x, np.ones((129, 2), np.complex64), cfg, interpret=True)
