@@ -4,4 +4,6 @@ from distantspeech_tpu.parallel.sharded import (
     make_sharded_enhance,
     make_sharded_enhance_pallas,
     make_sharded_gsc,
+    make_sharded_subband_gsc,
+    make_sharded_wpe,
 )

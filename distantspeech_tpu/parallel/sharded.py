@@ -149,6 +149,133 @@ def make_sharded_enhance_pallas(
     return run
 
 
+def _constrain_state(mesh: Mesh, state, f_axis: int = 1):
+    """Shard a per-bin state pytree over ('dp', 'fb').
+
+    Leaves are [B, ..., F, ...] with the frequency axis at ``f_axis``;
+    leaves with fewer than ``f_axis + 1`` dims (scalar frame counters,
+    batch-only stats) replicate beyond the batch axis.
+    """
+
+    def spec(leaf):
+        if leaf.ndim > f_axis:
+            axes = ["dp"] + [None] * (f_axis - 1) + ["fb"] + [None] * (leaf.ndim - f_axis - 1)
+            return P(*axes)
+        if leaf.ndim >= 1:
+            return P("dp", *([None] * (leaf.ndim - 1)))
+        return P()
+
+    return jax.tree.map(
+        lambda leaf: jax.lax.with_sharding_constraint(leaf, NamedSharding(mesh, spec(leaf))),
+        state,
+    )
+
+
+def make_sharded_wpe(mesh: Mesh, cfg=None):
+    """Jit subband RLS-WPE dereverberation over a ('dp', 'fb') mesh.
+
+    The [B, F, C*N, C*N] inverse-correlation recursion P (derev/wpe.py,
+    oracle awpe.py:172-183) is the state-heaviest carry in the codebase and
+    the cleanest bin-shard showcase: every frame's RLS update is purely
+    per-bin, so the whole scan body is collective-free — only the subband
+    analysis/synthesis at the edges redistribute.  Returns
+    f(x [B, C, S]) -> [B, S] with B divisible by the dp axis.
+    """
+    from distantspeech_tpu.derev.wpe import WpeConfig, wpe_init, wpe_step
+    from distantspeech_tpu.transform.subband import subband_analysis, subband_synthesis
+
+    if cfg is None:
+        cfg = WpeConfig()
+    in_sharding = NamedSharding(mesh, P("dp", None, None))
+    spec_tfc = NamedSharding(mesh, P(None, "dp", "fb", None))  # [T, B, F, C]
+
+    @jax.jit
+    def run(x):
+        x = jax.lax.with_sharding_constraint(x, in_sharding)
+        Y = subband_analysis(x, cfg.subband)  # [B, C, T, F]
+        D_tf = jnp.moveaxis(jnp.moveaxis(Y, -3, -1), -3, 0)  # [T, B, F, C]
+        D_tf = jax.lax.with_sharding_constraint(D_tf, spec_tfc)
+        delayed = jnp.concatenate(
+            [jnp.zeros_like(D_tf[: cfg.delay]), D_tf[: -cfg.delay]], axis=0
+        )
+        state = wpe_init(cfg, batch_shape=D_tf.shape[1:2], cdtype=D_tf.dtype)
+        state = _constrain_state(mesh, state)  # W/buf/P/var all [B, F, ...]
+
+        def body(s, dd):
+            s, e = wpe_step(cfg, s, dd[0], dd[1])
+            return _constrain_state(mesh, s), e
+
+        _, e = jax.lax.scan(body, state, (D_tf, delayed))
+        e0 = jnp.moveaxis(e[..., 0], 0, -2)  # [B, T, F]
+        e0 = jax.lax.with_sharding_constraint(e0, NamedSharding(mesh, P("dp", None, "fb")))
+        return subband_synthesis(e0, cfg.subband)
+
+    return run
+
+
+def make_sharded_subband_gsc(
+    mesh: Mesh, geometry: ArrayGeometry, angle_rad=(197.0 / 180.0 * np.pi, 0.0), cfg=None
+):
+    """Jit the SubbandGSC over a ('dp', 'fb') mesh.
+
+    The McSpp [B, F, C, C] covariances and the BM/AIC subband-LMS weights
+    shard over (dp, fb); the per-block STFT round-trips of the subband AFs
+    redistribute between the time and bin layouts (XLA-inserted
+    all-to-alls), matching the reference's SubbandAF time-domain dispatch
+    (SubbandGSC.py:170-263).  Returns f(x [B, M, S]) -> [B, S].
+    """
+    from distantspeech_tpu.adaptive.feature import dc_notch, dc_notch_init
+    from distantspeech_tpu.array.alignment import time_alignment_filters
+    from distantspeech_tpu.beamform.subband_gsc import (
+        SubbandGscConfig, SubbandGscState, subband_gsc_init, subband_gsc_step,
+    )
+    from distantspeech_tpu.ops.fir import fir_filter_offline
+
+    if cfg is None:
+        cfg = SubbandGscConfig(n_mics=geometry.n_mics)
+    L = cfg.frame_len
+    coeffs = np.asarray(time_alignment_filters(geometry, angle_rad), dtype=np.float32)
+    in_sharding = NamedSharding(mesh, P("dp", None, None))
+
+    def constrain(state: SubbandGscState) -> SubbandGscState:
+        dp = lambda leaf: jax.lax.with_sharding_constraint(
+            leaf, NamedSharding(mesh, P("dp", *([None] * (leaf.ndim - 1))))
+        )
+        return SubbandGscState(
+            stft_al=dp(state.stft_al),
+            spp=_constrain_state(mesh, state.spp, f_axis=1),
+            bm=_constrain_state(mesh, state.bm, f_axis=2),  # leading mic axis
+            stft_bm_x=dp(state.stft_bm_x),
+            stft_bm_d=dp(state.stft_bm_d),
+            istft_bm=dp(state.istft_bm),
+            aic=_constrain_state(mesh, state.aic, f_axis=1),
+            stft_aic_x=dp(state.stft_aic_x),
+            stft_aic_d=dp(state.stft_aic_d),
+            istft_aic=dp(state.istft_aic),
+            delay_fbf=dp(state.delay_fbf),
+        )
+
+    @jax.jit
+    def run(x):
+        x = jax.lax.with_sharding_constraint(x, in_sharding)
+        _, xn = dc_notch(dc_notch_init(x.shape[:-1], dtype=x.dtype), x, radius=0.98)
+        aligned = fir_filter_offline(xn, jnp.asarray(coeffs))
+        T = x.shape[-1] // L
+        ab = jnp.moveaxis(aligned[..., : T * L].reshape(*x.shape[:-1], T, L), -2, 0)
+        Fn = jnp.asarray(cfg.spp.mccdr.fn_pair(), dtype=x.dtype)
+
+        state = constrain(subband_gsc_init(cfg, batch_shape=x.shape[:-2], dtype=x.dtype))
+
+        def body(s, blk):
+            s, (out, _, _) = subband_gsc_step(cfg, Fn, s, blk)
+            return constrain(s), out
+
+        _, out = jax.lax.scan(body, state, ab)
+        return jnp.moveaxis(out, 0, -2).reshape(*x.shape[:-2], T * L)
+
+    return run
+
+
 def make_sharded_gsc(mesh: Mesh, geometry: ArrayGeometry, angle_rad=(197.0 / 180.0 * np.pi, 0.0), cfg=None):
     """Jit the frequency-domain GSC over a ('dp','fb') mesh.
 

@@ -58,6 +58,42 @@ def test_sharded_gsc_matches_single_device():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
 
 
+def test_sharded_wpe_matches_single_device():
+    """The [B, F, CN, CN] RLS-WPE P recursion bin-shards collective-free."""
+    from distantspeech_tpu.derev.wpe import WpeConfig, wpe_process
+    from distantspeech_tpu.parallel import make_sharded_wpe
+
+    cfg = WpeConfig(num_bands=64, hop=32, n_channels=2, filter_len=2, delay=2)
+    rng = np.random.default_rng(4)
+    B, C, S = 4, 2, 32 * 40
+    x = (rng.standard_normal((B, C, S)) * 0.1).astype(np.float32)
+
+    want = np.asarray(wpe_process(jnp.asarray(x), cfg))
+    for n_dp, n_fb in [(2, 4), (4, 2)]:
+        mesh = make_mesh(n_dp, n_fb)
+        run = make_sharded_wpe(mesh, cfg)
+        got = np.asarray(run(jnp.asarray(x)))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5, err_msg=f"mesh {n_dp}x{n_fb}")
+
+
+def test_sharded_subband_gsc_matches_single_device():
+    """McSpp covariances + BM/AIC subband-LMS weights shard over (dp, fb)."""
+    from distantspeech_tpu.beamform.subband_gsc import SubbandGscConfig, subband_gsc_process
+    from distantspeech_tpu.parallel import make_sharded_subband_gsc
+
+    geom = ArrayGeometry.circular(4, 0.032)
+    cfg = SubbandGscConfig(n_mics=4, frame_len=128)
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal((4, 4, 128 * 6)) * 0.1).astype(np.float32)
+    angle = (197.0 / 180.0 * np.pi, 0.0)
+
+    want = np.asarray(subband_gsc_process(jnp.asarray(x), geom, angle, cfg)[0])
+    mesh = make_mesh(2, 4)
+    run = make_sharded_subband_gsc(mesh, geom, angle, cfg)
+    got = np.asarray(run(jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
 def test_sharded_pallas_enhance_matches_single_device():
     """shard_map + the fused kernel (interpret mode on the CPU mesh):
     per-device bin shards, GSPMD MCRA pre-scan, padded-bin handling."""
