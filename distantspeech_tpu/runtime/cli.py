@@ -30,6 +30,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--angle", type=float, default=90.0, help="look azimuth in degrees")
     p.add_argument("--frame-len", type=int, default=256)
     p.add_argument("--fs", type=int, default=16000)
+    p.add_argument("--stream", action="store_true",
+                   help="process chunk-by-chunk through the realtime streaming driver "
+                        "(the reference's realtime_processing loop) instead of offline; "
+                        "writes a chunk-latency JSON report next to the output")
+    p.add_argument("--chunk", type=int, default=1024,
+                   help="samples per streaming chunk (reference uses 1024)")
+    p.add_argument("--latency-json", default=None,
+                   help="path for the --stream latency report (default: <output>.latency.json)")
     p.add_argument("--reference-exact", action="store_true",
                    help="use the reference-faithful (parity-tested) configuration instead of "
                         "the production-robust defaults; currently affects --pipeline gsc, "
@@ -63,6 +71,24 @@ def run(args) -> np.ndarray:
     angle = (args.angle, 0.0)
     angle_rad = (args.angle / 180.0 * np.pi, 0.0)
     xj = jnp.asarray(x)
+
+    if args.stream:
+        import json
+
+        from distantspeech_tpu.runtime.streaming import make_enhance_stream, wav_chunks
+
+        if args.pipeline != "enhance":
+            raise SystemExit("--stream currently supports --pipeline enhance only")
+        proc = make_enhance_stream(geom, angle, chunk_size=args.chunk, fs=fs)
+        y = proc.run(wav_chunks(x, args.chunk))
+        report = proc.latency_report()
+        lat_path = args.latency_json or (args.output + ".latency.json")
+        with open(lat_path, "w") as f:
+            json.dump(report, f, indent=1)
+        print(json.dumps(report))
+        y = np.asarray(y)
+        save_audio(args.output, y / max(np.max(np.abs(y)), 1e-9) * 0.9, fs=fs)
+        return y
 
     if args.pipeline in ("fixed_ds", "fixed_sd"):
         from distantspeech_tpu.beamform import FixedBeamformerConfig, fixed_beamformer_weights, fixed_process
