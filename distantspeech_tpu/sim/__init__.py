@@ -1,1 +1,2 @@
+from distantspeech_tpu.sim.ism import batched_propagation, batched_rir, default_rir_length
 from distantspeech_tpu.sim.room import RoomConfig, generate_scene, image_source_rir, simulate_propagation

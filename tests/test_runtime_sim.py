@@ -73,3 +73,44 @@ def test_generate_scene_snr():
     mix = generate_scene(src, mics, snr=30, sir=15, cfg=RoomConfig(max_order=1))
     assert mix.shape == (4, 16000)
     assert np.isfinite(mix).all() and np.max(np.abs(mix)) < 10
+
+
+def test_batched_rir_matches_host_ism():
+    """The jitted batched ISM (sim/ism.py, the gpuRIR analogue) reproduces
+    the host NumPy image-source model to float32 round-off."""
+    from distantspeech_tpu.sim import batched_rir
+
+    cfg = RoomConfig(max_order=2, rir_length=1600)
+    rng = np.random.default_rng(3)
+    mics = np.array([[2.5, 1.5, 0.5], [2.53, 1.5, 0.5], [2.56, 1.5, 0.5]])
+    srcs = np.stack([
+        np.array([3.5, 1.5, 0.5]),
+        np.array([1.2, 2.1, 0.8]),
+        np.array([4.1, 0.7, 1.2]),
+        np.array([2.0, 1.0, 2.0]),
+    ])
+
+    got = np.asarray(batched_rir(jnp.asarray(srcs), jnp.asarray(mics), cfg))
+    assert got.shape == (4, 3, 1600)
+    for b in range(4):
+        want = image_source_rir(srcs[b], mics, cfg)
+        scale = np.max(np.abs(want))
+        np.testing.assert_allclose(got[b], want, atol=2e-4 * scale, err_msg=f"src {b}")
+
+
+def test_batched_propagation_matches_host():
+    from distantspeech_tpu.sim import batched_propagation
+    from distantspeech_tpu.sim.room import simulate_propagation
+
+    cfg = RoomConfig(max_order=1, rir_length=900)
+    rng = np.random.default_rng(4)
+    mics = np.array([[2.5, 1.5, 0.5], [2.56, 1.5, 0.5]])
+    srcs = np.array([[3.5, 1.5, 0.5], [1.5, 2.5, 1.0]])
+    sig = rng.standard_normal((2, 4000)).astype(np.float32)
+
+    got = np.asarray(batched_propagation(jnp.asarray(sig), jnp.asarray(srcs), jnp.asarray(mics), cfg))
+    assert got.shape == (2, 2, 4000)
+    for b in range(2):
+        want = simulate_propagation(sig[b], srcs[b], mics, cfg)
+        scale = np.max(np.abs(want))
+        np.testing.assert_allclose(got[b], want, atol=5e-4 * scale, err_msg=f"src {b}")
