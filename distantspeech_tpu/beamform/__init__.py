@@ -13,6 +13,6 @@ from distantspeech_tpu.beamform.subband_gsc import (
 )
 from distantspeech_tpu.beamform.ccaf import ccafbounds
 from distantspeech_tpu.beamform.enhance import EnhanceConfig, EnhanceState, enhance_init, enhance_process, enhance_scan, enhance_step
-from distantspeech_tpu.beamform.mvdr import offline_mvdr_weights
+from distantspeech_tpu.beamform.mvdr import adaptive_mvdr2_process, offline_mvdr_weights
 from distantspeech_tpu.beamform.pmwf import PmwfConfig, pmwf_process
 from distantspeech_tpu.beamform.dios_gsc import DiosGscConfig, dios_gsc_process

@@ -136,8 +136,80 @@ def offline_mvdr_weights(
 
     Rvv, _ = jax.lax.scan(body, ones, jnp.moveaxis(X[..., :n_est_frames, :, :], -3, 0))
     eye = jnp.eye(M, dtype=X.dtype)
-    Rvv_inv = jnp.linalg.inv(Rvv + diag * eye)
-    return mvdr_weights(steer.astype(X.dtype), Rvv_inv)
+    from distantspeech_tpu.stats.linalg import gauss_jordan_inv
+
+    return mvdr_weights(steer.astype(X.dtype), gauss_jordan_inv(Rvv + diag * eye))
+
+
+def adaptive_mvdr2_process(
+    x: jnp.ndarray,
+    steer: jnp.ndarray,
+    frame_len: int = 256,
+    hop: int = 128,
+    n_est_frames: int = 200,
+    alpha: float = 0.9,
+    diag: float = 1e-6,
+) -> jnp.ndarray:
+    """Offline MVDR with frame-tracking weights during estimation
+    (AdaptiveMVDR2 semantics, adaptivebeamformer.py:130-180, exactly):
+
+    Rvv starts at ones; for the first ``n_est_frames`` frames each frame's
+    rank-1 update is folded in and the MVDR weights recomputed *before*
+    being applied to that same frame; afterwards the weights freeze.  The
+    reconstruction is the reference's window^2-normalised weighted
+    overlap-add (net scale irfft(sum_m conj(H) Z), :174-180).
+
+    Like the reference, Rvv is estimated from the raw mixture with no VAD:
+    the estimation window must be (near) noise-only, or a coherent target
+    inside it is absorbed into Rvv and self-cancelled (MPDR behaviour —
+    measured 300x *worse* than the input on a target-during-estimation
+    scene, for the reference and this port alike).  Use ``mvdr_process``
+    for the MCRA-gated online variant.
+
+    x: [M, S] time signal; steer: [F, M].  Returns y [out_len].
+    """
+    from distantspeech_tpu.stats.linalg import gauss_jordan_inv
+
+    M, S = x.shape
+    overlap = frame_len - hop
+    T = int(round((S - overlap) // hop))
+    # periodic Hann, windows.hann(frameLen, sym=False) (adaptivebeamformer.py:140)
+    window = jnp.asarray(0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(frame_len) / frame_len), dtype=x.dtype)
+
+    starts = jnp.arange(T) * hop
+    frames = jax.vmap(lambda s: jax.lax.dynamic_slice(x, (0, s), (M, frame_len)))(starts)
+    Z = jnp.fft.rfft(frames * window, axis=-1)  # [T, M, F]
+    Z = jnp.swapaxes(Z, -1, -2)  # [T, F, M]
+
+    F = Z.shape[-2]
+    eye = jnp.eye(M, dtype=Z.dtype)
+    a = jnp.broadcast_to(steer.astype(Z.dtype), (F, M))
+
+    def body(carry, zt):
+        Rvv, H, t = carry
+        z, = zt
+        Rvv_new = alpha * Rvv + (1.0 - alpha) * (z[..., :, None] * jnp.conj(z)[..., None, :])
+        H_new = mvdr_weights(a, gauss_jordan_inv(Rvv_new + diag * eye))
+        upd = t < n_est_frames
+        Rvv = jnp.where(upd, Rvv_new, Rvv)
+        H = jnp.where(upd, H_new, H)
+        Yf = jnp.einsum("fm,fm->f", jnp.conj(H), z)
+        return (Rvv, H, t + 1), Yf
+
+    Rvv0 = jnp.ones((F, M, M), dtype=Z.dtype)
+    H0 = mvdr_weights(a, gauss_jordan_inv(Rvv0 + diag * eye))
+    (_, _, _), Y = jax.lax.scan(body, (Rvv0, H0, jnp.int32(0)), (Z,))
+
+    # window^2-normalised OLA (adaptivebeamformer.py:175-180); the reference's
+    # win_scale * window.sum() on the synthesis frame cancels to 1
+    Cf = jnp.fft.irfft(Y, n=frame_len, axis=-1) * window  # [T, frame_len]
+    out_len = frame_len + (T - 1) * hop
+    idx = (starts[:, None] + jnp.arange(frame_len)[None, :]).reshape(-1)
+    yout = jnp.zeros(out_len, dtype=x.dtype).at[idx].add(Cf.reshape(-1))
+    norm = jnp.zeros(out_len, dtype=x.dtype).at[idx].add(
+        jnp.broadcast_to(window**2, (T, frame_len)).reshape(-1)
+    )
+    return yout / jnp.where(norm > 1e-10, norm, 1.0)
 
 
 def mvdr_process(

@@ -207,6 +207,24 @@ def patch_wpe():
 
 
 @functools.lru_cache(maxsize=None)
+def patch_adaptive_mvdr():
+    """Reference bit-rot shim: AdaptiveMVDR2 calls ``self.getMVDRweight(a,
+    Rvv)`` (adaptivebeamformer.py:154,166), removed from the base class at
+    HEAD.  Restore it as the MVDR branch of the surviving ``getweights``
+    (beamformer.py:306-336) with the 1e-6 diagonal loading its sibling
+    ``AdaptiveMVDR`` passes explicitly (adaptivebeamformer.py:216)."""
+    patch_beamformer_base()
+    adaptive = load("DistantSpeech.beamformer.adaptivebeamformer")
+    if not hasattr(adaptive.adaptivebeamfomer, "getMVDRweight"):
+
+        def getMVDRweight(self, a, Rvv, Diagonal=1e-6):
+            return self.getweights(a, weightType="MVDR", Rvv=Rvv, Diagonal=Diagonal)
+
+        adaptive.adaptivebeamfomer.getMVDRweight = getMVDRweight
+    return adaptive
+
+
+@functools.lru_cache(maxsize=None)
 def patch_beamformer_base():
     """Compat shim: FixedBeamformer/adaptivebeamfomer at reference HEAD pass
     c=/fs=/r= kwargs their base beamformer.__init__ no longer accepts

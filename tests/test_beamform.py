@@ -6,12 +6,15 @@ import pytest
 
 import refutil
 from distantspeech_tpu.array import ArrayGeometry
+from distantspeech_tpu.array.steering import steering_vector
 from distantspeech_tpu.beamform import (
     FixedBeamformerConfig,
     MvdrConfig,
+    adaptive_mvdr2_process,
     fixed_beamformer_weights,
     fixed_process,
     mvdr_process,
+    offline_mvdr_weights,
 )
 from distantspeech_tpu.transform import StftConfig
 
@@ -92,3 +95,65 @@ def test_mvdr_process_parity(ref_mods):
     y_ours = np.asarray(mvdr_process(jnp.asarray(x), geom, (0.0, 0.0), MvdrConfig()))
     assert y_ours.shape == y_ref.shape
     np.testing.assert_allclose(y_ours, y_ref, atol=1e-6)
+
+
+def test_adaptive_mvdr2_output_parity(ref_mods):
+    """adaptive_mvdr2_process vs the reference AdaptiveMVDR2
+    (adaptivebeamformer.py:130-180) frame-exactly: frame-tracking weights
+    during the 200-frame estimation window, then frozen, window^2-normalised
+    OLA.  The removed getMVDRweight helper is restored by
+    refutil.patch_adaptive_mvdr."""
+    refutil.patch_adaptive_mvdr()
+    mic, geom = _mic_and_geom(ref_mods)
+    rng = np.random.default_rng(11)
+    M, S = 4, 128 * 60
+    x = 0.1 * rng.standard_normal((M, S))
+
+    angle_rad = np.array([0.0, 0.0])
+    ref_obj = ref_mods["adaptive"].adaptivebeamfomer(mic, 256, 128, 256)
+    y_ref = ref_obj.AdaptiveMVDR2(x, angle_rad)
+
+    steer = steering_vector(geom, (0.0, 0.0), 256)
+    y_ours = np.asarray(
+        adaptive_mvdr2_process(jnp.asarray(x), jnp.asarray(steer), n_est_frames=200)
+    )
+    assert y_ours.shape == y_ref.shape
+    np.testing.assert_allclose(y_ours, y_ref, atol=1e-8)
+
+
+def test_offline_mvdr_weights_match_adaptive_mvdr(ref_mods):
+    """offline_mvdr_weights vs the reference AdaptiveMVDR
+    (adaptivebeamformer.py:181-230): same scipy spectrogram in, our fixed
+    weights applied + istft must reproduce the reference waveform (any
+    weight divergence shows up in the output)."""
+    from scipy import signal as ssig
+
+    refutil.patch_adaptive_mvdr()
+    mic, geom = _mic_and_geom(ref_mods)
+    rng = np.random.default_rng(12)
+    M = 4
+    S = 128 * 210  # > 200 stft frames for the estimation loop
+    x = 0.1 * rng.standard_normal((M, S))
+
+    angle_rad = np.array([0.0, 0.0])
+    ref_obj = ref_mods["adaptive"].adaptivebeamfomer(mic, 256, 128, 256)
+    # retH=None skips the (removed) beampattern call but still defines the
+    # return slot (adaptivebeamformer.py:199-201,227)
+    res = ref_obj.AdaptiveMVDR(x, angle_rad, retH=None, retWNG=False, retDI=False)
+    y_ref = np.squeeze(res["out"])
+
+    f, t, Zxx = ssig.stft(x, 16000)
+    # the reference divides the rank-1 update by win_scale^2
+    # (adaptivebeamformer.py:211-214); equivalently scale Z by 1/win_scale
+    X = np.moveaxis(Zxx, 0, -1) / ref_obj.win_scale  # [F, T, M] -> need [T, F, M]
+    X = np.swapaxes(X, 0, 1)  # [T, F, M]
+    steer = steering_vector(geom, (0.0, 0.0), 256)
+    w = np.asarray(
+        offline_mvdr_weights(jnp.asarray(X), jnp.asarray(steer), n_est_frames=200, alpha=0.9, diag=1e-6)
+    )  # [F, M]
+
+    Zout = np.einsum("fm,fmt->ft", np.conj(w), np.moveaxis(Zxx, 0, 1))[None]
+    _, y_ours = ssig.istft(Zout, 16000)
+    y_ours = np.squeeze(y_ours)
+    n = min(len(y_ours), len(y_ref))
+    np.testing.assert_allclose(y_ours[:n], y_ref[:n], atol=1e-8)
