@@ -38,9 +38,8 @@ def main():
     sys.path.insert(0, ".")
     from distantspeech_tpu.array.geometry import ArrayGeometry
     from distantspeech_tpu.array.steering import steering_vector
-    from distantspeech_tpu.beamform.enhance import (
-        EnhanceConfig, enhance_init, enhance_scan, enhance_scan_pallas,
-    )
+    from distantspeech_tpu.beamform.enhance import EnhanceConfig, enhance_init, enhance_scan
+    from distantspeech_tpu.ops.pallas_enhance import fused_enhance
     from distantspeech_tpu.runtime.profiling import slope_per_iter
     from distantspeech_tpu.transform import analysis, synthesis
 
@@ -59,29 +58,40 @@ def main():
         X = analysis(x, cfg.stft)
         return jnp.moveaxis(jnp.moveaxis(X, -3, -1), -3, 0)  # [T, B, F, M]
 
-    # ---- parity gate: compiled kernel vs scan reference, on device ---------
+    # ---- parity gate: compiled fused kernel vs scan reference, on device ---
+    # the scan reference compiles in seconds at B=2 but takes ~6 min at B=8
+    # on the axon backend, so gate at B=2 and tile the fused input up to its
+    # B%8==0 requirement (batch rows are independent in both paths)
     @jax.jit
-    def parity_gap(x):
+    def scan_ref(x):
         Zt = to_zt(x)
         state = enhance_init(cfg, n_mics, batch_shape=(x.shape[0],), cdtype=jnp.complex64)
         _, Y_ref = enhance_scan(cfg, jnp.asarray(steer), state, Zt)
-        Y_pal = enhance_scan_pallas(cfg, jnp.asarray(steer), Zt)
-        scale = jnp.maximum(jnp.max(jnp.abs(Y_ref)), 1e-20)
-        return jnp.max(jnp.abs(Y_pal - Y_ref)) / scale
+        return synthesis(jnp.moveaxis(Y_ref, 0, -2), cfg.stft)
+
+    @jax.jit
+    def fused_gate(x2):
+        y = fused_enhance(jnp.tile(x2, (4, 1, 1)), steer, cfg)
+        return y[:2]
+
+    @jax.jit
+    def gap(y_ref, y_fused):
+        scale = jnp.maximum(jnp.max(jnp.abs(y_ref)), 1e-20)
+        return jnp.max(jnp.abs(y_fused - y_ref)) / scale
 
     rng = np.random.default_rng(0)
     x_gate = jnp.asarray(rng.standard_normal((2, n_mics, fs)).astype(np.float32))
-    rel = float(jax.device_get(parity_gap(x_gate)))
+    rel = float(jax.device_get(gap(scan_ref(x_gate), fused_gate(x_gate))))
     if not (np.isfinite(rel) and rel < 1e-3):
-        raise RuntimeError(f"parity gate FAILED: pallas vs scan rel error {rel:.3e} (need < 1e-3)")
-    print(f"parity gate: pallas vs scan rel error {rel:.2e} — ok", file=sys.stderr)
+        raise RuntimeError(f"parity gate FAILED: fused vs scan rel error {rel:.3e} (need < 1e-3)")
+    print(f"parity gate: fused vs scan rel error {rel:.2e} — ok", file=sys.stderr)
 
     # ---- timed pipeline -----------------------------------------------------
     @jax.jit
     def forward(x):
-        # fused sublane-tiled Pallas MVDR kernel (2.7x over the lax.scan path)
-        Y = enhance_scan_pallas(cfg, jnp.asarray(steer), to_zt(x))
-        return synthesis(jnp.moveaxis(Y, 0, -2), cfg.stft)
+        # fully-fused fast path: STFT->MCRA->MVDR->OM-LSA->ISTFT in two
+        # Pallas calls with in-kernel noise tracking (ops/pallas_enhance.py)
+        return fused_enhance(x, steer, cfg)
 
     x = jnp.asarray(rng.standard_normal((batch, n_mics, S)).astype(np.float32))
 

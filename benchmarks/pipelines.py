@@ -100,6 +100,10 @@ def main():
         cases["enhance_pallas_8mic"] = (
             lambda x: enhance_process(x, geom8, (90.0, 0.0), backend="pallas"), mk_x(8),
         )
+        if B % 8 == 0:
+            cases["enhance_fused_8mic"] = (
+                lambda x: enhance_process(x, geom8, (90.0, 0.0), backend="fused"), mk_x(8),
+            )
 
     for name, (fn, x) in cases.items():
         try:
