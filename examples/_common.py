@@ -7,11 +7,13 @@ image-source simulator so the examples run anywhere, and each accepts
 """
 
 import argparse
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, ".")
+# run from anywhere: the package lives in the repo root above examples/
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def speech_like(fs: int, dur: float, seed: int = 0) -> np.ndarray:

@@ -7,12 +7,13 @@ it with the flagship pipeline, and reports SI-SDR + realtime factor.
 """
 
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(args):

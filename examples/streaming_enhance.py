@@ -8,11 +8,12 @@ realtime factor and overflow count.
 """
 
 import argparse
+import os
 import sys
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(args):
