@@ -18,7 +18,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def _throughput(f, x, audio_seconds, ceiling=1.0e6):
+def _throughput(f, x, audio_seconds, ceiling=1.0e6, pairs=((1, 4), (2, 6), (2, 8))):
     import jax
     import jax.numpy as jnp
 
@@ -36,9 +36,7 @@ def _throughput(f, x, audio_seconds, ceiling=1.0e6):
     timed(1)
     timed(1)
     # robust median slope: raises instead of reporting garbage (see profiling)
-    per, _ = slope_per_iter(
-        timed, pairs=((1, 4), (2, 6), (2, 8)), min_per_iter=audio_seconds / ceiling
-    )
+    per, _ = slope_per_iter(timed, pairs=pairs, min_per_iter=audio_seconds / ceiling)
     return audio_seconds / per
 
 
@@ -47,6 +45,10 @@ def main():
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--seconds", type=float, default=4.0)
+    p.add_argument("--only", default=None,
+                   help="comma-separated pipeline-name substrings to run (each "
+                        "pipeline compiles for minutes over the axon tunnel — "
+                        "select what you need)")
     args = p.parse_args()
     import jax
 
@@ -105,9 +107,16 @@ def main():
                 lambda x: enhance_process(x, geom8, (90.0, 0.0), backend="fused"), mk_x(8),
             )
 
+    if args.only:
+        keys = [k.strip() for k in args.only.split(",")]
+        cases = {n: c for n, c in cases.items() if any(k in n for k in keys)}
+
     for name, (fn, x) in cases.items():
         try:
-            v = _throughput(jax.jit(fn), x, audio)
+            # near-instant pipelines (fixed BF) need more chained iterations
+            # for the slope to rise above the tunnel's readback jitter
+            pairs = ((4, 16), (6, 22), (8, 28)) if name.startswith("fixed") else ((1, 4), (2, 6), (2, 8))
+            v = _throughput(jax.jit(fn), x, audio, pairs=pairs)
             print(json.dumps({"pipeline": name, "audio_s_per_s": round(v, 1), "batch": B}))
         except Exception as e:  # keep going if one pipeline trips an env issue
             print(json.dumps({"pipeline": name, "error": f"{type(e).__name__}"}))

@@ -184,21 +184,24 @@ def adaptive_mvdr2_process(
     F = Z.shape[-2]
     eye = jnp.eye(M, dtype=Z.dtype)
     a = jnp.broadcast_to(steer.astype(Z.dtype), (F, M))
+    n_est = min(int(n_est_frames), T)
 
-    def body(carry, zt):
-        Rvv, H, t = carry
-        z, = zt
-        Rvv_new = alpha * Rvv + (1.0 - alpha) * (z[..., :, None] * jnp.conj(z)[..., None, :])
-        H_new = mvdr_weights(a, gauss_jordan_inv(Rvv_new + diag * eye))
-        upd = t < n_est_frames
-        Rvv = jnp.where(upd, Rvv_new, Rvv)
-        H = jnp.where(upd, H_new, H)
+    # frame-tracking weights only exist inside the estimation window, so the
+    # scan (with its per-frame [F, M, M] inverse) covers just those frames;
+    # the remaining ~T - n_est frames apply the frozen weights in one einsum
+    def body(carry, z):
+        Rvv, _ = carry
+        Rvv = alpha * Rvv + (1.0 - alpha) * (z[..., :, None] * jnp.conj(z)[..., None, :])
+        H = mvdr_weights(a, gauss_jordan_inv(Rvv + diag * eye))
         Yf = jnp.einsum("fm,fm->f", jnp.conj(H), z)
-        return (Rvv, H, t + 1), Yf
+        return (Rvv, H), Yf
 
     Rvv0 = jnp.ones((F, M, M), dtype=Z.dtype)
-    H0 = mvdr_weights(a, gauss_jordan_inv(Rvv0 + diag * eye))
-    (_, _, _), Y = jax.lax.scan(body, (Rvv0, H0, jnp.int32(0)), (Z,))
+    H0 = mvdr_weights(a, gauss_jordan_inv(Rvv0 + diag * eye))  # the reference's
+    # pre-loop weights (adaptivebeamformer.py:152-154); applied only if n_est == 0
+    (_, H_fin), Y_est = jax.lax.scan(body, (Rvv0, H0), Z[:n_est])
+    Y_rest = jnp.einsum("fm,tfm->tf", jnp.conj(H_fin), Z[n_est:])
+    Y = jnp.concatenate([Y_est, Y_rest], axis=0)
 
     # window^2-normalised OLA (adaptivebeamformer.py:175-180); the reference's
     # win_scale * window.sum() on the synthesis frame cancels to 1

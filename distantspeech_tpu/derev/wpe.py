@@ -96,14 +96,23 @@ def wpe_step(
     return WpeState(W=W, buf=buf, P=P, var=var), e
 
 
-def wpe_run(cfg: WpeConfig, D_tf: jnp.ndarray) -> jnp.ndarray:
+def wpe_run(cfg: WpeConfig, D_tf: jnp.ndarray, constrain=None) -> jnp.ndarray:
     """Scan WPE over a subband spectrogram.
 
     D_tf: [T, ..., F, C] time-major spectra.  Returns e: [T, ..., F, C].
+    ``constrain`` (optional) maps WpeState -> WpeState and is applied to the
+    initial state and to every scan carry — the hook the sharded runner uses
+    to pin the (dp, fb) sharding of the P recursion without duplicating it.
     """
+    fix = constrain or (lambda s: s)
     delayed = jnp.concatenate([jnp.zeros_like(D_tf[: cfg.delay]), D_tf[: -cfg.delay]], axis=0)
-    state = wpe_init(cfg, batch_shape=D_tf.shape[1:-2], cdtype=D_tf.dtype)
-    _, e = jax.lax.scan(lambda s, dd: wpe_step(cfg, s, dd[0], dd[1]), state, (D_tf, delayed))
+    state = fix(wpe_init(cfg, batch_shape=D_tf.shape[1:-2], cdtype=D_tf.dtype))
+
+    def body(s, dd):
+        s, e = wpe_step(cfg, s, dd[0], dd[1])
+        return fix(s), e
+
+    _, e = jax.lax.scan(body, state, (D_tf, delayed))
     return e
 
 

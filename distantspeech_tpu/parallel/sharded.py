@@ -181,7 +181,7 @@ def make_sharded_wpe(mesh: Mesh, cfg=None):
     analysis/synthesis at the edges redistribute.  Returns
     f(x [B, C, S]) -> [B, S] with B divisible by the dp axis.
     """
-    from distantspeech_tpu.derev.wpe import WpeConfig, wpe_init, wpe_step
+    from distantspeech_tpu.derev.wpe import WpeConfig, wpe_run
     from distantspeech_tpu.transform.subband import subband_analysis, subband_synthesis
 
     if cfg is None:
@@ -195,17 +195,8 @@ def make_sharded_wpe(mesh: Mesh, cfg=None):
         Y = subband_analysis(x, cfg.subband)  # [B, C, T, F]
         D_tf = jnp.moveaxis(jnp.moveaxis(Y, -3, -1), -3, 0)  # [T, B, F, C]
         D_tf = jax.lax.with_sharding_constraint(D_tf, spec_tfc)
-        delayed = jnp.concatenate(
-            [jnp.zeros_like(D_tf[: cfg.delay]), D_tf[: -cfg.delay]], axis=0
-        )
-        state = wpe_init(cfg, batch_shape=D_tf.shape[1:2], cdtype=D_tf.dtype)
-        state = _constrain_state(mesh, state)  # W/buf/P/var all [B, F, ...]
-
-        def body(s, dd):
-            s, e = wpe_step(cfg, s, dd[0], dd[1])
-            return _constrain_state(mesh, s), e
-
-        _, e = jax.lax.scan(body, state, (D_tf, delayed))
+        # W/buf/P/var are all [B, F, ...]: pin (dp, fb) on every scan carry
+        e = wpe_run(cfg, D_tf, constrain=lambda s: _constrain_state(mesh, s))
         e0 = jnp.moveaxis(e[..., 0], 0, -2)  # [B, T, F]
         e0 = jax.lax.with_sharding_constraint(e0, NamedSharding(mesh, P("dp", None, "fb")))
         return subband_synthesis(e0, cfg.subband)

@@ -70,7 +70,6 @@ def run(args) -> np.ndarray:
     geom = mk(M, args.spacing, fs=fs)
     angle = (args.angle, 0.0)
     angle_rad = (args.angle / 180.0 * np.pi, 0.0)
-    xj = jnp.asarray(x)
 
     if args.stream:
         import json
@@ -79,16 +78,21 @@ def run(args) -> np.ndarray:
 
         if args.pipeline != "enhance":
             raise SystemExit("--stream currently supports --pipeline enhance only")
+        # zero-pad the tail to a whole chunk so no input is dropped; trim after
+        S = x.shape[-1]
+        pad = (-S) % args.chunk
+        xp = np.pad(x, [(0, 0), (0, pad)]) if pad else x
         proc = make_enhance_stream(geom, angle, chunk_size=args.chunk, fs=fs)
-        y = proc.run(wav_chunks(x, args.chunk))
+        y = np.asarray(proc.run(wav_chunks(xp, args.chunk)))[..., :S]
         report = proc.latency_report()
         lat_path = args.latency_json or (args.output + ".latency.json")
         with open(lat_path, "w") as f:
             json.dump(report, f, indent=1)
         print(json.dumps(report))
-        y = np.asarray(y)
         save_audio(args.output, y / max(np.max(np.abs(y)), 1e-9) * 0.9, fs=fs)
         return y
+
+    xj = jnp.asarray(x)
 
     if args.pipeline in ("fixed_ds", "fixed_sd"):
         from distantspeech_tpu.beamform import FixedBeamformerConfig, fixed_beamformer_weights, fixed_process

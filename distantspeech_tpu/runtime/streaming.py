@@ -60,9 +60,12 @@ class StreamingProcessor:
         contract, realtime_processing.py:126-127, as an artifact).
 
         ``skip_warmup`` chunks (jit compile) are excluded from the
-        percentile stats but still counted in ``overflows``/``chunks``.
+        percentile stats but still counted in ``overflows``/``chunks``;
+        the actual exclusion is capped so at least one chunk remains, and
+        the report records it as ``warmup_excluded``.
         """
-        lat = np.asarray(self.latencies[skip_warmup:] or self.latencies)
+        skipped = min(skip_warmup, max(len(self.latencies) - 1, 0))
+        lat = np.asarray(self.latencies[skipped:])
         budget = self.chunk_size / self.fs
         ms = lambda v: round(float(v) * 1e3, 4)
         return {
@@ -71,6 +74,7 @@ class StreamingProcessor:
             "chunk_size": self.chunk_size,
             "fs": self.fs,
             "budget_ms": ms(budget),
+            "warmup_excluded": skipped,
             "p50_ms": ms(np.percentile(lat, 50)) if lat.size else None,
             "p95_ms": ms(np.percentile(lat, 95)) if lat.size else None,
             "max_ms": ms(lat.max()) if lat.size else None,

@@ -83,7 +83,8 @@ def test_cli_stream_writes_output_and_latency_artifact():
     from distantspeech_tpu.runtime.cli import build_parser, run
 
     rng = np.random.default_rng(8)
-    x = (rng.standard_normal((1024 * 6, 4)) * 0.1).astype(np.float32)
+    S = 1024 * 6 + 300  # deliberately not chunk-aligned: tail must be kept
+    x = (rng.standard_normal((S, 4)) * 0.1).astype(np.float32)
     with tempfile.TemporaryDirectory() as d:
         inp, outp = os.path.join(d, "in.wav"), os.path.join(d, "out.wav")
         from distantspeech_tpu.runtime.io import load_audio, save_audio
@@ -92,10 +93,11 @@ def test_cli_stream_writes_output_and_latency_artifact():
         args = build_parser().parse_args([inp, outp, "--pipeline", "enhance", "--stream"])
         y = run(args)
         assert np.isfinite(y).all() and y.ndim == 1
+        assert y.shape == (S,)  # zero-padded last chunk, trimmed back
         assert os.path.exists(outp)
         with open(outp + ".latency.json") as f:
             report = json.load(f)
-        assert report["chunks"] == 6 and report["budget_ms"] == 64.0
+        assert report["chunks"] == 7 and report["budget_ms"] == 64.0
         assert report["p50_ms"] is not None and report["realtime_factor"] is not None
         out = load_audio(outp)
         assert np.isfinite(out).all() and out.shape == (len(y),)
