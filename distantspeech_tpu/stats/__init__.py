@@ -8,8 +8,22 @@ from distantspeech_tpu.stats.weights import (
     tfgsc_weights,
 )
 from distantspeech_tpu.stats.metrics import array_gain, beampattern, wng_di
+from distantspeech_tpu.stats.evaluation import (
+    best_aligned_si_sdr,
+    pesq_score,
+    segmental_snr_db,
+    si_sdr,
+    snr_db,
+    stoi_score,
+)
 
 __all__ = [
+    "si_sdr",
+    "best_aligned_si_sdr",
+    "snr_db",
+    "segmental_snr_db",
+    "pesq_score",
+    "stoi_score",
     "update_psd",
     "update_csd",
     "rank1_update",

@@ -46,13 +46,9 @@ def make_scene(n_mics=4, spacing=0.032, fs=16000, dur=4.0, snr=20.0, sir=10.0,
 
 def si_sdr(est: np.ndarray, ref: np.ndarray, search_shift: int = 400) -> float:
     """Scale-invariant SDR in dB, maximised over small alignment shifts."""
-    def one(e, r):
-        n = min(len(e), len(r))
-        e, r = e[:n] - e[:n].mean(), r[:n] - r[:n].mean()
-        a = np.dot(e, r) / np.dot(r, r)
-        return 10 * np.log10(np.sum((a * r) ** 2) / (np.sum((e - a * r) ** 2) + 1e-12))
+    from distantspeech_tpu.stats.evaluation import si_sdr as _si_sdr
 
-    return max(one(est[l:], ref[: len(ref) - l]) for l in range(0, search_shift, 8))
+    return max(_si_sdr(est[l:], ref[: len(ref) - l]) for l in range(0, search_shift, 8))
 
 
 def demo_args(description: str) -> argparse.Namespace:

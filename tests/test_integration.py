@@ -39,19 +39,14 @@ def scene():
 
 
 def test_enhance_pipeline_improves_sisdr(scene):
+    from distantspeech_tpu.stats import best_aligned_si_sdr
+
     geom, src, mix = scene
     y = np.asarray(enhance_process(jnp.asarray(mix), geom, (90.0, 0.0)))
 
-    def si_sdr(est, ref):
-        n = min(len(est), len(ref))
-        est, ref = est[:n] - est[:n].mean(), ref[:n] - ref[:n].mean()
-        a = np.dot(est, ref) / np.dot(ref, ref)
-        return 10 * np.log10(np.sum((a * ref) ** 2) / np.sum((est - a * ref) ** 2))
-
     # align over RIR delay (~47) + the transform's one-hop latency (128)
-    lags = range(0, 400)
-    best_in = max(si_sdr(mix[0][l:], src[: len(src) - l]) for l in lags)
-    best_out = max(si_sdr(y[l:], src[: len(src) - l]) for l in lags)
+    best_in = best_aligned_si_sdr(mix[0], src)
+    best_out = best_aligned_si_sdr(y, src)
     assert best_out > best_in + 1.0, (best_in, best_out)
 
 
@@ -92,16 +87,12 @@ def test_ds_beamformer_array_gain(scene):
 def test_pmwf_pipeline_enhances(scene):
     from distantspeech_tpu.beamform.pmwf import PmwfConfig, pmwf_process
 
+    from distantspeech_tpu.stats import best_aligned_si_sdr
+
     geom, src, mix = scene
     y = np.asarray(pmwf_process(jnp.asarray(mix), geom, PmwfConfig(n_mics=4, full=True)))
     assert np.isfinite(y).all()
 
-    def si_sdr(est, ref):
-        n = min(len(est), len(ref))
-        est, ref = est[:n] - est[:n].mean(), ref[:n] - ref[:n].mean()
-        a = np.dot(est, ref) / np.dot(ref, ref)
-        return 10 * np.log10(np.sum((a * ref) ** 2) / np.sum((est - a * ref) ** 2))
-
-    best_in = max(si_sdr(mix[0][l:], src[: len(src) - l]) for l in range(0, 400))
-    best_out = max(si_sdr(y[l:], src[: len(src) - l]) for l in range(0, 400))
+    best_in = best_aligned_si_sdr(mix[0], src)
+    best_out = best_aligned_si_sdr(y, src)
     assert best_out > best_in + 1.0, (best_in, best_out)  # actual enhancement

@@ -122,3 +122,22 @@ def test_awgn_parity():
     rng = np.random.default_rng(4)
     x = rng.standard_normal(4096)
     np.testing.assert_allclose(awgn(x, 10.0), base.awgn(x, 10), rtol=0, atol=0)
+
+
+def test_evaluation_metrics():
+    """stats.evaluation: SI-SDR/segSNR behave like the published formulas
+    (the reference only calls pesq/pystoi in demo mains, mcspp_base.py:394-403)."""
+    from distantspeech_tpu.stats import best_aligned_si_sdr, segmental_snr_db, si_sdr, snr_db
+
+    rng = np.random.default_rng(0)
+    ref = rng.standard_normal(8000)
+    assert si_sdr(3.7 * ref, ref) > 80  # scale-invariant
+    noisy = ref + 0.1 * rng.standard_normal(8000)
+    v = si_sdr(noisy, ref)
+    assert 15 < v < 25  # 0.1 noise on unit signal -> ~20 dB
+    assert si_sdr(noisy + 0.4 * rng.standard_normal(8000), ref) < v  # monotone
+    # lag search recovers a shifted estimate
+    assert best_aligned_si_sdr(np.concatenate([np.zeros(37), ref]), ref, max_lag=50) > 80
+    assert abs(snr_db(ref, 0.1 * ref) - 20.0) < 1e-6
+    assert segmental_snr_db(ref, ref) == 35.0  # clamped at the ceiling
+    assert segmental_snr_db(noisy, ref) < 35.0
