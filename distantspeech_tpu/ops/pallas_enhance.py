@@ -12,12 +12,14 @@ around what the round-2 profile showed:
   kernel doesn't have);
 - everything AROUND the kernel is HBM-bound, so the layout is chosen to
   make every repack a free reshape: the windowed-DFT matmul writes
-  ``[T, M, B, 2F]`` f32 with a column permutation that puts the real parts
-  of bins 0..F-2 in lane-tile 0, the imaginary parts in lane-tile 1 and the
-  Nyquist bin at the tail — the Pallas BlockSpec index maps then slice
-  real/imag views straight out of the matmul output during the HBM->VMEM
-  DMA.  Zero transposes or pad copies on the hot tensor (the round-1 path
-  spent ~1.4 ms on them);
+  ``[T, M, B, 2F-2]`` f32 with a column permutation that puts the real
+  parts of bins 0..F-2 in lane-tile 0 and the imaginary parts in lane-tile
+  1, with the (real-valued) Nyquist bin packed into the imag plane's lane 0
+  — the two structurally-zero sin columns (k=0 and k=F-1) are dropped so
+  the matmul is exactly two lane-tiles wide instead of padding 258->384.
+  The Pallas BlockSpec index maps then slice real/imag views straight out
+  of the matmul output during the HBM->VMEM DMA.  Zero transposes or pad
+  copies on the hot tensor (the round-1 path spent ~1.4 ms on them);
 - bins 0..F-2 fill the 128-lane axis exactly (fl = n_fft/2); batch items
   fill sublanes 8 at a time, so B multiples of 8 pack with NO padding
   waste (the round-1 joint (batch x bin) packing wasted 19% at B=32);
@@ -38,7 +40,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from distantspeech_tpu.ops.framing import frame_signal, overlap_add
+from distantspeech_tpu.ops.framing import overlap_add
 from distantspeech_tpu.ops.pallas_mvdr import _mvdr_frame
 
 _SUB = 8
@@ -127,6 +129,10 @@ def _enhance_kernel(
         tg = chunk_base + t
         zr = [zr_ref[t, m] for m in range(M)]
         zi = [zi_ref[t, m] for m in range(M)]
+        if not last_bin:
+            # imag-plane lane 0 carries the Nyquist REAL sample (the N=256
+            # matmul packing); bin 0's true imag part is identically zero.
+            zi = [jnp.where(mask0, 0.0, v) for v in zi]
 
         Yp = zr[0] * zr[0] + zi[0] * zi[0]
         if last_bin:
@@ -199,15 +205,29 @@ def fused_enhance(
     steer = np.asarray(steer)
 
     # ---- analysis: one windowed-DFT matmul into the kernel's layout --------
-    # column order [cos 0..F-2 | sin 0..F-2 | cos F-1, sin F-1]: lane-tile 0
-    # of the output is the main-bin real plane, lane-tile 1 the imag plane,
-    # and the BlockSpec index maps read both straight from this one array.
+    # lane-tile 0 of the output is the main-bin real plane, lane-tile 1 the
+    # imag plane, and the BlockSpec index maps read both straight from this
+    # one array.  N=256 packing: the sin columns for k=0 and k=F-1 are
+    # identically zero, so the Nyquist REAL column takes the imag plane's
+    # lane 0 instead (masked to 0 inside the kernel) — the matmul output is
+    # then exactly two lane-tiles wide.  The naive [cos|sin] layout is 258
+    # columns, which the MXU pads to 384 lanes: a third more column passes
+    # spent on two all-zero columns.
+    # Column order: [cos 0..F-2 | cos F-1 | sin 1..F-2].
     C, Sn = _dft_matrices(stft)
-    CS = np.concatenate([C[:, :fl], Sn[:, :fl], C[:, fl:], Sn[:, fl:]], axis=1).astype(np.float32)
-    pad = [(0, 0), (0, 0), (stft.overlap, 0)]
-    frames = frame_signal(jnp.pad(x, pad), stft.n_fft, stft.hop)  # [B, M, T, L]
-    Y = jnp.einsum("bmtl,lk->tmbk", frames, jnp.asarray(CS), precision="highest")  # [T, M, B, 2F]
-    T = Y.shape[0]
+    CS = np.concatenate([C[:, :fl], C[:, fl:], Sn[:, 1:fl]], axis=1).astype(np.float32)
+    # Never materialise the 2x-sized overlapping-frame tensor: with 50%
+    # overlap, frame t is the concatenation of hop-blocks t and t+1, both
+    # free reshapes of the padded signal — so the windowed DFT is two
+    # half-frame matmuls on non-overlapping blocks.  Measured: the frame
+    # gather alone cost 1.9 ms/iter of the 2.3 ms framed matmul.
+    xp = jnp.pad(x, [(0, 0), (0, 0), (stft.overlap, 0)])
+    blocks = xp.reshape(B, M, -1, stft.hop)  # [B, M, T+1, hop]
+    W1 = jnp.asarray(CS[: stft.hop])
+    W2 = jnp.asarray(CS[stft.hop :])
+    Y = jnp.einsum("bmtl,lk->tmbk", blocks[:, :, :-1], W1, precision="highest")
+    Y = Y + jnp.einsum("bmtl,lk->tmbk", blocks[:, :, 1:], W2, precision="highest")
+    T = Y.shape[0]  # [T, M, B, 2F-2]
 
     tc = t_chunk or _pick_t_chunk(T)
     if tc is None:  # awkward T: pad frames (the copy is the fallback, not the rule)
@@ -218,9 +238,11 @@ def fused_enhance(
     nb = B // _SUB
 
     # ---- MCRA cross-bin smoothing (the only part with a frequency halo) ----
+    Yi0 = Y[:, 0, :, fl:]  # imag plane: lane 0 = Nyquist REAL, lanes 1.. = imag 1..F-2
+    imag_mask = jnp.asarray(np.concatenate([[0.0], np.ones(fl - 1)]).astype(np.float32))
     p0 = (
-        Y[:, 0, :, :fl] ** 2 + Y[:, 0, :, fl : 2 * fl] ** 2,  # bins 0..F-2
-        Y[:, 0, :, 2 * fl : 2 * fl + 1] ** 2 + Y[:, 0, :, 2 * fl + 1 :] ** 2,  # Nyquist
+        Y[:, 0, :, :fl] ** 2 + (Yi0 * imag_mask) ** 2,  # bins 0..F-2 (bin-0 imag is 0)
+        Yi0[..., :1] ** 2,  # Nyquist (real-valued for real input)
     )
     Sf = _freq_smooth(jnp.concatenate(p0, axis=-1), mc.b)[..., :fl]  # [Tp, B, fl]
     Sf = Sf.reshape(Tp, nb, _SUB, fl)
@@ -267,10 +289,10 @@ def fused_enhance(
     )(Y, Y, Sf, jnp.asarray(a_main_r), jnp.asarray(a_main_i))
 
     # ---- Nyquist call: one tile, batch packed (sublane = b%8, lane = b//8) -
-    zn = Y[:, :, :, 2 * fl :]  # [Tp, M, B, 2]
-    zn = zn.reshape(Tp, M, nb, _SUB, 2)  # b = lane*8 + sublane
-    zn = jnp.transpose(zn, (0, 1, 4, 3, 2))  # [Tp, M, (r|i), 8, b//8]
-    zn = jnp.pad(zn, [(0, 0)] * 4 + [(0, fl - nb)])  # plane 0 = real, 1 = imag
+    zn = Y[:, :, :, fl : fl + 1]  # [Tp, M, B, 1] Nyquist real (its imag is identically 0)
+    zn = zn.reshape(Tp, M, nb, _SUB, 1)  # b = lane*8 + sublane
+    zn = jnp.transpose(zn, (0, 1, 4, 3, 2))  # [Tp, M, (r), 8, b//8]
+    zn = jnp.pad(zn, [(0, 0), (0, 0), (0, 1), (0, 0), (0, fl - nb)])  # plane 1 (imag) = zeros
     nyspec_r = pl.BlockSpec((tc, M, 1, _SUB, fl), lambda n, t: (t, 0, 0, 0, 0), memory_space=pltpu.VMEM)
     nyspec_i = pl.BlockSpec((tc, M, 1, _SUB, fl), lambda n, t: (t, 0, 1, 0, 0), memory_space=pltpu.VMEM)
     sf_dummy = jnp.zeros((Tp, 1, _SUB, fl), jnp.float32)
@@ -291,10 +313,13 @@ def fused_enhance(
     yr = yr[:T].reshape(T, B, fl)
     yi = yi[:T].reshape(T, B, fl)
     ynr = jnp.moveaxis(ynr[:T, 0, :, :nb], 2, 1).reshape(T, B, 1)
-    yni = jnp.moveaxis(yni[:T, 0, :, :nb], 2, 1).reshape(T, B, 1)
-    Yri = jnp.concatenate([yr, ynr, yi, yni], axis=-1)  # [T, B, 2F], bin order (r|i)
+    del yni  # the inverse sin row for the Nyquist bin is identically zero
+    # K=256 packing for the inverse matmul: the sin rows for k=0 and k=F-1
+    # are identically zero, so bin-0 imag and Nyquist imag drop out exactly
+    # (258 rows would pad to a third more contraction tiles on the MXU).
+    Yri = jnp.concatenate([yr, ynr, yi[..., 1:]], axis=-1)  # [T, B, 2F-2]
     A, Bm = _idft_matrices(stft)
-    AB = jnp.asarray(np.concatenate([A, Bm], axis=0).astype(np.float32))
+    AB = jnp.asarray(np.concatenate([A, Bm[1:fl]], axis=0).astype(np.float32))
     out_frames = jnp.einsum("tbk,kl->btl", Yri, AB, precision="highest")  # [B, T, L]
     y = overlap_add(out_frames, stft.hop)
     return y[..., : stft.hop * T] * jnp.asarray(stft.synthesis_gain, y.dtype)

@@ -110,16 +110,32 @@ def stft_frames(x: jnp.ndarray, cfg: StftConfig) -> jnp.ndarray:
 
     x: [..., samples] -> [..., T, half_bin] with T = 1 + (samples - n_fft)//hop.
     """
-    frames = frame_signal(x, cfg.n_fft, cfg.hop)
     C, S = _dft_matrices(cfg)
-    # one matmul for both real and imaginary parts: the frames tensor (the
-    # big operand) is read once.  precision='highest' keeps the f32 MXU path
-    # at ~1e-7 relative error; the default bf16 pass would be ~1e-3 and
-    # break 1e-4 parity.
-    CS = jnp.asarray(np.concatenate([C, S], axis=1), dtype=frames.dtype)
-    Y = jnp.matmul(frames, CS, precision="highest")
     F = cfg.half_bin
-    return jax.lax.complex(Y[..., :F], Y[..., F:])
+    # one matmul pass for both real and imaginary parts: the frames tensor
+    # (the big operand) is read once.  precision='highest' keeps the f32 MXU
+    # path at ~1e-7 relative error; the default bf16 pass would be ~1e-3 and
+    # break 1e-4 parity.  The sin columns at k=0 (and k=F-1 for even n_fft)
+    # are dropped: their true DFT value is exactly 0 (sin(pi*n) is ~1e-16
+    # rounding noise as computed), and keeping them pads the matmul's output
+    # width onto an extra 128-lane MXU tile (258 -> 384 for n_fft=256).
+    hi = F - 1 if cfg.n_fft % 2 == 0 else F
+    CS = jnp.asarray(np.concatenate([C, S[:, 1:hi]], axis=1), dtype=x.dtype)
+    if cfg.n_fft == 2 * cfg.hop:
+        # 50% overlap: frame t = hop-blocks (t, t+1), both free reshapes —
+        # two half-frame matmuls instead of materialising the 2x-sized
+        # overlapping-frame tensor (measured: the gather alone cost as much
+        # as the matmul itself on TPU).
+        T = 1 + (x.shape[-1] - cfg.n_fft) // cfg.hop
+        blocks = x[..., : (T + 1) * cfg.hop].reshape(*x.shape[:-1], T + 1, cfg.hop)
+        Y = jnp.matmul(blocks[..., :-1, :], CS[: cfg.hop], precision="highest")
+        Y = Y + jnp.matmul(blocks[..., 1:, :], CS[cfg.hop :], precision="highest")
+    else:
+        frames = frame_signal(x, cfg.n_fft, cfg.hop)
+        Y = jnp.matmul(frames, CS, precision="highest")
+    zero = jnp.zeros_like(Y[..., :1])
+    tail = [zero] if hi == F - 1 else []
+    return jax.lax.complex(Y[..., :F], jnp.concatenate([zero, Y[..., F:], *tail], axis=-1))
 
 
 def istft_frames(Y: jnp.ndarray, cfg: StftConfig) -> jnp.ndarray:
@@ -128,9 +144,14 @@ def istft_frames(Y: jnp.ndarray, cfg: StftConfig) -> jnp.ndarray:
     Y: [..., T, half_bin] -> [..., n_fft + hop*(T-1)].
     """
     A, B = _idft_matrices(cfg)
+    F = cfg.half_bin
+    # the sin rows at k=0 (and k=F-1 for even n_fft) are structural zeros —
+    # drop them and the matching imag inputs so the contraction dim lands on
+    # an MXU tile boundary (see stft_frames).
+    hi = F - 1 if cfg.n_fft % 2 == 0 else F
     Yr = jnp.real(Y)
-    AB = jnp.asarray(np.concatenate([A, B], axis=0), dtype=Yr.dtype)
-    Yri = jnp.concatenate([Yr, jnp.imag(Y)], axis=-1)
+    AB = jnp.asarray(np.concatenate([A, B[1:hi]], axis=0), dtype=Yr.dtype)
+    Yri = jnp.concatenate([Yr, jnp.imag(Y)[..., 1:hi]], axis=-1)
     frames = jnp.matmul(Yri, AB, precision="highest")
     return overlap_add(frames, cfg.hop)
 
