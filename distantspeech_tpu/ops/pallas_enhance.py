@@ -199,6 +199,10 @@ def fused_enhance(
         raise ValueError(f"fused_enhance needs n_fft a multiple of 256, got {stft.n_fft}")
     if x.ndim != 3 or x.shape[0] % _SUB:
         raise ValueError(f"fused_enhance needs x of shape [B, M, S] with B % 8 == 0, got {x.shape}")
+    if x.shape[-1] % stft.hop:
+        # drop the sub-hop tail, matching the scan path (stft_frames truncates
+        # partial frames) instead of an opaque reshape error on arbitrary wavs
+        x = x[..., : x.shape[-1] // stft.hop * stft.hop]
     B, M, S = x.shape
     mv = cfg.mvdr
     mc = mv.mcra

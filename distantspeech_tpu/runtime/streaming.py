@@ -60,9 +60,12 @@ class StreamingProcessor:
         contract, realtime_processing.py:126-127, as an artifact).
 
         ``skip_warmup`` chunks (jit compile) are excluded from the
-        percentile stats but still counted in ``overflows``/``chunks``;
-        the actual exclusion is capped so at least one chunk remains, and
-        the report records it as ``warmup_excluded``.
+        percentile stats AND from ``overflows`` — a compile is not a
+        latency miss, and a consumer gating on ``overflows == 0`` should
+        see the steady-state realtime contract.  The raw count including
+        warmup is reported as ``overflows_incl_warmup``; the actual
+        exclusion is capped so at least one chunk remains, and the report
+        records it as ``warmup_excluded``.
         """
         skipped = min(skip_warmup, max(len(self.latencies) - 1, 0))
         lat = np.asarray(self.latencies[skipped:])
@@ -70,7 +73,8 @@ class StreamingProcessor:
         ms = lambda v: round(float(v) * 1e3, 4)
         return {
             "chunks": self.chunks,
-            "overflows": self.overflows,
+            "overflows": int(np.sum(lat > budget)),
+            "overflows_incl_warmup": self.overflows,
             "chunk_size": self.chunk_size,
             "fs": self.fs,
             "budget_ms": ms(budget),

@@ -29,10 +29,19 @@ def si_sdr(est: np.ndarray, ref: np.ndarray) -> float:
 
 
 def best_aligned_si_sdr(est: np.ndarray, ref: np.ndarray, max_lag: int = 400) -> float:
-    """SI-SDR maximised over an output-lag search (RIR delay + transform
-    latency make enhanced outputs lag their references by an unknown,
-    pipeline-dependent number of samples)."""
-    return max(si_sdr(est[l:], ref[: len(ref) - l]) for l in range(max_lag))
+    """SI-SDR maximised over a two-sided lag search: enhanced outputs lag
+    their references by an unknown pipeline-dependent number of samples
+    (RIR delay + transform latency), and trimming conventions can also make
+    the estimate *lead*.  Lags that would leave no overlap are skipped."""
+    n = min(len(est), len(ref))
+    best = -np.inf
+    for l in range(min(max_lag, n)):
+        # est delayed by l samples relative to ref ...
+        best = max(best, si_sdr(est[l:], ref[: len(ref) - l] if l else ref))
+        # ... and est leading ref by l samples
+        if l:
+            best = max(best, si_sdr(est[: len(est) - l], ref[l:]))
+    return best
 
 
 def snr_db(signal: np.ndarray, noise: np.ndarray) -> float:

@@ -136,8 +136,13 @@ def test_evaluation_metrics():
     v = si_sdr(noisy, ref)
     assert 15 < v < 25  # 0.1 noise on unit signal -> ~20 dB
     assert si_sdr(noisy + 0.4 * rng.standard_normal(8000), ref) < v  # monotone
-    # lag search recovers a shifted estimate
+    # lag search recovers a shifted estimate — in BOTH directions (an
+    # estimate can lead its reference under trimming conventions)
     assert best_aligned_si_sdr(np.concatenate([np.zeros(37), ref]), ref, max_lag=50) > 80
+    assert best_aligned_si_sdr(ref[37:], ref, max_lag=50) > 80
+    # lags beyond the signal length are skipped, not scored as spurious 0 dB
+    short = ref[:20]
+    assert best_aligned_si_sdr(3.7 * short, short, max_lag=400) > 80
     assert abs(snr_db(ref, 0.1 * ref) - 20.0) < 1e-6
     assert segmental_snr_db(ref, ref) == 35.0  # clamped at the ceiling
     assert segmental_snr_db(noisy, ref) < 35.0

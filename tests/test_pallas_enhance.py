@@ -54,6 +54,23 @@ def test_fused_enhance_t_chunk_padding():
     np.testing.assert_allclose(got, want, atol=2e-3 * scale, rtol=2e-3)
 
 
+def test_fused_enhance_unaligned_length():
+    """Arbitrary (non-hop-multiple) lengths drop the sub-hop tail exactly like
+    the scan path's frame truncation, instead of a reshape error."""
+    B, M = 8, 2
+    cfg = EnhanceConfig(mvdr=MvdrConfig(mcra_L=15))
+    geom = ArrayGeometry.linear(M, 0.032)
+    x = jnp.asarray(_scene(B, M, 128 * 24 + 77, seed=2))
+    steer = np.asarray(
+        steering_vector(geom, np.array([np.pi / 2, 0.0]), cfg.stft.n_fft), dtype=np.complex64
+    )
+    want = np.asarray(enhance_process(x[..., : 128 * 24], geom, (90.0, 0.0), cfg, backend="scan"))
+    got = np.asarray(fused_enhance(x, steer, cfg, interpret=True))
+    assert got.shape == want.shape
+    scale = np.max(np.abs(want))
+    np.testing.assert_allclose(got, want, atol=2e-3 * scale, rtol=2e-3)
+
+
 def test_fused_enhance_validation():
     cfg = EnhanceConfig()
     x = jnp.zeros((6, 2, 1280), jnp.float32)  # B not a multiple of 8

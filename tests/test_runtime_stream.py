@@ -46,6 +46,10 @@ def test_overflow_contract(monkeypatch):
     proc = _identity_proc(1024)
     proc.run(wav_chunks(x, 1024))
     assert proc.chunks == 5 and proc.overflows == 5
+    report = proc.latency_report(skip_warmup=1)
+    # the report separates the steady-state contract from compile warmup
+    assert report["overflows"] == 4 and report["overflows_incl_warmup"] == 5
+    assert report["warmup_excluded"] == 1
 
     # fake 1 ms per chunk -> none overflow
     monkeypatch.setattr(streaming.time, "perf_counter", _FakeClock(0.001))
