@@ -293,14 +293,265 @@ def fused_enhance(
     )(Y, Y, Sf, jnp.asarray(a_main_r), jnp.asarray(a_main_i))
 
     # ---- Nyquist call: one tile, batch packed (sublane = b%8, lane = b//8) -
-    zn = Y[:, :, :, fl : fl + 1]  # [Tp, M, B, 1] Nyquist real (its imag is identically 0)
-    zn = zn.reshape(Tp, M, nb, _SUB, 1)  # b = lane*8 + sublane
-    zn = jnp.transpose(zn, (0, 1, 4, 3, 2))  # [Tp, M, (r), 8, b//8]
+    # Y[..., fl] is the Nyquist real sample (its imag is identically 0)
+    ynr = _run_nyquist(Y[:, :, :, fl : fl + 1], a_nyq_r, a_nyq_i, kern_kwargs, tc, Tp, nb, fl, M, interpret)
+
+    # ---- synthesis: free reshapes back, one inverse-DFT matmul -------------
+    yr = yr[:T].reshape(T, B, fl)
+    yi = yi[:T].reshape(T, B, fl)
+    ynr = jnp.moveaxis(ynr[:T, 0, :, :nb], 2, 1).reshape(T, B, 1)
+    # K=256 packing for the inverse matmul: the sin rows for k=0 and k=F-1
+    # are identically zero, so bin-0 imag and Nyquist imag drop out exactly
+    # (258 rows would pad to a third more contraction tiles on the MXU).
+    Yri = jnp.concatenate([yr, ynr, yi[..., 1:]], axis=-1)  # [T, B, 2F-2]
+    A, Bm = _idft_matrices(stft)
+    AB = jnp.asarray(np.concatenate([A, Bm[1:fl]], axis=0).astype(np.float32))
+    out_frames = jnp.einsum("tbk,kl->btl", Yri, AB, precision="highest")  # [B, T, L]
+    y = overlap_add(out_frames, stft.hop)
+    return y[..., : stft.hop * T] * jnp.asarray(stft.synthesis_gain, y.dtype)
+
+
+def _mega_kernel(
+    sig_ref, halo_ref, cs_ref, ab_ref, ar_ref, ai_ref,  # inputs
+    y_ref,  # output: [Tc, 1, 8, hop] overlap-added time-domain chunk
+    Z, Yri, OAc, Rr, Ri, Ur, Ui, S, Smin, Stmp, Pp, Lam, Gh, Gam,  # scratch
+    *, Tc: int, M: int, fl: int,
+    L: int, alpha_s: float, alpha_p: float, alpha_d: float, delta_s: float,
+    p_min: float, p_max: float, b: tuple,
+    alpha_v: float, diag: float, rel_diag: float, p_vad: float,
+    alpha_xi: float, gmin: float,
+):
+    """The whole flagship pipeline in ONE kernel: framing + windowed DFT +
+    MCRA (cross-bin smoothing via lane shifts) + gated MVDR + OM-LSA +
+    inverse DFT + overlap-add.  The signal is the only HBM input and the
+    overlap-added waveform the only HBM output — the round-2 profile showed
+    the separate XLA analysis matmul ran at ~10% of the chip's matmul rate
+    and its [T, M, B, 2F-2] spectra round-tripped HBM three times (write,
+    MCRA-smooth read, kernel read).
+
+    sig_ref: [Tc, M, 8, hop] hop-blocks (frame-major); halo_ref: [1, M, 8,
+    hop] the one extra hop-block frame Tc-1 needs (50% overlap: frame t =
+    blocks t, t+1).  cs_ref [n_fft, 2fl]: packed windowed-DFT matrix
+    (columns [cos 0..F-2 | cos F-1 | sin 1..F-2]); ab_ref [2fl, n_fft]: the
+    packed inverse (its Nyquist row multiplies the zeroed lane 128 — the
+    Nyquist bin's contribution is added OUTSIDE from the tiny companion
+    kernel).  Oracle semantics: transform.py:430-481 + mcra.py:27-77 +
+    adaptivebeamformer.py:44-128 + mcspp_base.py:140-156.
+    """
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        for ref in (OAc, Rr, Ri, Ur, Ui, S, Smin, Stmp, Pp, Lam):
+            ref[...] = jnp.zeros_like(ref)
+        Gh[...] = jnp.ones_like(Gh)
+        Gam[...] = jnp.ones_like(Gam)
+
+    # ---- analysis: two half-frame dots per mic (framing never materialised)
+    W1 = cs_ref[:fl]
+    W2 = cs_ref[fl:]
+    for m in range(M):
+        a1 = sig_ref[:, m]  # [Tc, 8, hop]
+        a2 = jnp.concatenate([a1[1:], halo_ref[:, m]], axis=0)
+        z = jnp.dot(a1.reshape(Tc * _SUB, fl), W1,
+                    precision="highest", preferred_element_type=jnp.float32)
+        z = z + jnp.dot(a2.reshape(Tc * _SUB, fl), W2,
+                        precision="highest", preferred_element_type=jnp.float32)
+        Z[m] = z.reshape(Tc, _SUB, 2 * fl)
+
+    ar = [ar_ref[m] for m in range(M)]
+    ai = [ai_ref[m] for m in range(M)]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_SUB, fl), 1)
+    interior = lane >= 1
+    mask0 = lane == 0
+    log_gmin = float(np.log(gmin))
+    chunk_base = pl.program_id(1) * Tc
+
+    def frame(t, _):
+        tg = chunk_base + t
+        zfull = [Z[m, t] for m in range(M)]  # [8, 2fl]
+        zr = [v[:, :fl] for v in zfull]
+        zi_raw = [v[:, fl:] for v in zfull]
+        # imag-plane lane 0 carries the Nyquist REAL sample (packing);
+        # bin 0's true imag part is identically zero.
+        zi = [jnp.where(mask0, 0.0, v) for v in zi_raw]
+
+        # MCRA 3-tap cross-bin smoothing entirely in-lane: the main bins
+        # 0..F-2 fill one 128-lane tile, so the neighbours are lane shifts;
+        # the k=F-2 right-neighbour is the Nyquist power, read from the
+        # packed lane (mcra._freq_smooth edges are unused: interior-only).
+        Yp = zr[0] * zr[0] + zi[0] * zi[0]
+        Pn = zi_raw[0][:, :1] * zi_raw[0][:, :1]  # [8, 1] Nyquist power
+        Pl = jnp.concatenate([Yp[:, :1], Yp[:, :-1]], axis=1)
+        Pr = jnp.concatenate([Yp[:, 1:], Pn], axis=1)
+        Sf_t = b[0] * Pl + b[1] * Yp + b[2] * Pr
+
+        p_out, lam_out = _mcra_frame(
+            tg, Yp, Sf_t, S, Smin, Stmp, Pp, Lam, interior, mask0,
+            L=L, alpha_s=alpha_s, alpha_p=alpha_p, alpha_d=alpha_d,
+            delta_s=delta_s, p_min=p_min, p_max=p_max,
+        )
+        upd = p_out < p_vad
+        yr, yi = _mvdr_frame(zr, zi, upd, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag, rel_diag)
+
+        gamma = (yr * yr + yi * yi) / jnp.maximum(lam_out, 1e-10)
+        xi = alpha_xi * Gh[...] ** 2 * Gam[...] + (1.0 - alpha_xi) * jnp.maximum(gamma - 1.0, 0.0)
+        G_H1 = xi / (1.0 + xi)
+        logG = p_out * jnp.log(jnp.maximum(G_H1, 1e-30)) + (1.0 - p_out) * log_gmin
+        G = jnp.clip(jnp.exp(logG), gmin, 1.0)
+        Gh[...] = G_H1
+        Gam[...] = gamma
+        # packed inverse layout: [yr bins 0..F-2 | 0 (Nyquist slot) | yi 1..F-2]
+        Yri[t] = jnp.concatenate([yr * G, jnp.where(mask0, 0.0, yi * G)], axis=-1)
+        return 0
+
+    jax.lax.fori_loop(0, Tc, frame, 0)
+
+    # ---- synthesis + overlap-add (50% overlap: y[t] = f[t,:hop]+f[t-1,hop:])
+    f = jnp.dot(Yri[...].reshape(Tc * _SUB, 2 * fl), ab_ref[...],
+                precision="highest", preferred_element_type=jnp.float32)
+    f = f.reshape(Tc, _SUB, 2 * fl)
+    prev = jnp.concatenate([OAc[...], f[:-1, :, fl:]], axis=0)
+    y_ref[:, 0] = f[:, :, :fl] + prev
+    OAc[...] = f[-1:, :, fl:]
+
+
+def fused_enhance_full(
+    x: jnp.ndarray,
+    steer: np.ndarray,
+    cfg,
+    interpret: bool = False,
+    t_chunk: int = None,
+) -> jnp.ndarray:
+    """Mega-fused flagship: the ENTIRE pipeline (STFT analysis included) in
+    one Pallas call plus the tiny Nyquist companion.
+
+    Versus ``fused_enhance`` (which leaves the windowed-DFT matmuls to XLA),
+    this reads the [B, M, S] signal from HBM once and writes the [B, S]
+    waveform once: the [T, M, B, 2F-2] spectra (~2x the signal size) never
+    exist in HBM, and the analysis dots run on non-overlapping hop-block
+    reshapes streamed through VMEM.  Same restrictions: B % 8 == 0, n_fft a
+    multiple of 256, 50% overlap.  Parity: matches enhance_scan to float32
+    rounding (bench.py gate).
+    """
+    from distantspeech_tpu.transform.stft import _dft_matrices, _idft_matrices
+
+    stft = cfg.stft
+    F = stft.half_bin
+    fl = F - 1
+    if fl % 128 != 0:
+        raise ValueError(f"fused_enhance_full needs n_fft a multiple of 256, got {stft.n_fft}")
+    if stft.n_fft != 2 * stft.hop:
+        raise ValueError("fused_enhance_full needs 50% overlap (n_fft == 2*hop)")
+    if x.ndim != 3 or x.shape[0] % _SUB:
+        raise ValueError(f"fused_enhance_full needs x of shape [B, M, S] with B % 8 == 0, got {x.shape}")
+    if x.shape[-1] % stft.hop:
+        x = x[..., : x.shape[-1] // stft.hop * stft.hop]
+    B, M, S = x.shape
+    hop = stft.hop
+    T = S // hop
+    nb = B // _SUB
+    mv = cfg.mvdr
+    mc = mv.mcra
+    steer = np.asarray(steer)
+
+    # VMEM-bounded frame chunk: the Z scratch is [M, Tc, 8, 2fl] f32 and the
+    # double-buffered signal block [Tc, M, 8, hop] x2 — cap their sum ~8 MB.
+    cap = max(8, min(64, (8 << 20) // (M * _SUB * 2 * fl * 4 * 2)))
+    tc = t_chunk or _pick_t_chunk(T, cap) or cap
+    Tp = -(-T // tc) * tc
+
+    # hop-block tensor, frame-major: [Tp+1, M, B, hop].  One XLA transpose
+    # (~0.1 ms at flagship size) buys frame-major rows for the in-kernel
+    # dots and contiguous per-frame tiles — measured cheaper than in-kernel
+    # sublane shuffles.
+    xp = jnp.pad(x, [(0, 0), (0, 0), (stft.overlap, 0)])
+    blocks = xp.reshape(B, M, T + 1, hop)
+    if Tp != T:
+        blocks = jnp.pad(blocks, [(0, 0), (0, 0), (0, Tp - T), (0, 0)])
+    blocksT = jnp.transpose(blocks, (2, 1, 0, 3))  # [Tp+1, M, B, hop]
+
+    C, Sn = _dft_matrices(stft)
+    CS = np.concatenate([C[:, :fl], C[:, fl:], Sn[:, 1:fl]], axis=1).astype(np.float32)
+    A, Bm = _idft_matrices(stft)
+    AB = np.concatenate([A, Bm[1:fl]], axis=0).astype(np.float32)
+
+    a_main_r = np.broadcast_to(np.real(steer[:fl]).T[:, None, :], (M, _SUB, fl)).astype(np.float32)
+    a_main_i = np.broadcast_to(np.imag(steer[:fl]).T[:, None, :], (M, _SUB, fl)).astype(np.float32)
+    a_nyq_r = np.broadcast_to(np.real(steer[fl])[:, None, None], (M, _SUB, fl)).astype(np.float32)
+    a_nyq_i = np.broadcast_to(np.imag(steer[fl])[:, None, None], (M, _SUB, fl)).astype(np.float32)
+
+    kern_kwargs = dict(
+        Tc=tc, M=M, fl=fl,
+        L=mc.L, alpha_s=mc.alpha_s, alpha_p=mc.alpha_p, alpha_d=mc.alpha_d,
+        delta_s=mc.delta_s, p_min=mc.p_min, p_max=mc.p_max,
+        alpha_v=mv.alpha_v, diag=mv.diag, rel_diag=mv.rel_diag, p_vad=mv.p_vad,
+        alpha_xi=cfg.alpha_xi, gmin=cfg.gmin,
+    )
+
+    sig_spec = pl.BlockSpec((tc, M, _SUB, hop), lambda n, t: (t, 0, n, 0), memory_space=pltpu.VMEM)
+    halo_spec = pl.BlockSpec((1, M, _SUB, hop), lambda n, t: (t * tc + tc, 0, n, 0), memory_space=pltpu.VMEM)
+    cs_spec = pl.BlockSpec((stft.n_fft, 2 * fl), lambda n, t: (0, 0), memory_space=pltpu.VMEM)
+    ab_spec = pl.BlockSpec((2 * fl, stft.n_fft), lambda n, t: (0, 0), memory_space=pltpu.VMEM)
+    aspec = pl.BlockSpec((M, _SUB, fl), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM)
+    yspec = pl.BlockSpec((tc, 1, _SUB, hop), lambda n, t: (t, n, 0, 0), memory_space=pltpu.VMEM)
+
+    mega_scratch = [
+        pltpu.VMEM((M, tc, _SUB, 2 * fl), jnp.float32),  # Z
+        pltpu.VMEM((tc, _SUB, 2 * fl), jnp.float32),  # Yri
+        pltpu.VMEM((1, _SUB, fl), jnp.float32),  # OAc
+        pltpu.VMEM((M, M, _SUB, fl), jnp.float32),
+        pltpu.VMEM((M, M, _SUB, fl), jnp.float32),
+        pltpu.VMEM((M, _SUB, fl), jnp.float32),
+        pltpu.VMEM((M, _SUB, fl), jnp.float32),
+    ] + [pltpu.VMEM((_SUB, fl), jnp.float32)] * 7
+
+    y_main = pl.pallas_call(
+        partial(_mega_kernel, b=tuple(float(v) for v in mc.b), **kern_kwargs),
+        grid=(nb, Tp // tc),
+        in_specs=[sig_spec, halo_spec, cs_spec, ab_spec, aspec, aspec],
+        out_specs=yspec,
+        out_shape=jax.ShapeDtypeStruct((Tp, nb, _SUB, hop), jnp.float32),
+        scratch_shapes=mega_scratch,
+        interpret=interpret,
+    )(blocksT, blocksT, jnp.asarray(CS), jnp.asarray(AB), jnp.asarray(a_main_r), jnp.asarray(a_main_i))
+
+    # ---- Nyquist branch: windowed-DFT matvec -> companion kernel -----------
+    w_nyq = CS[:, fl]
+    zn = jnp.einsum("tmbl,l->tmb", blocksT[:-1], jnp.asarray(w_nyq[:hop]), precision="highest")
+    zn = zn + jnp.einsum("tmbl,l->tmb", blocksT[1:], jnp.asarray(w_nyq[hop:]), precision="highest")
+    ynr = _run_nyquist(zn[..., None], a_nyq_r, a_nyq_i, kern_kwargs, tc, Tp, nb, fl, M, interpret)
+
+    # its inverse-DFT row contribution, overlap-added inline
+    ynr = jnp.moveaxis(ynr[:T, 0, :, :nb], 2, 1).reshape(T, B)  # [T, B]
+    fn = ynr[:, :, None] * jnp.asarray(AB[fl])[None, None, :]  # [T, B, n_fft]
+    contrib = fn[:, :, :hop] + jnp.concatenate(
+        [jnp.zeros_like(fn[:1, :, hop:]), fn[:-1, :, hop:]], axis=0
+    )
+    y = y_main[:T].reshape(T, B, hop) + contrib
+    return jnp.moveaxis(y, 0, 1).reshape(B, T * hop) * jnp.asarray(stft.synthesis_gain, y.dtype)
+
+
+def _run_nyquist(zn4, a_nyq_r, a_nyq_i, kern_kwargs, tc, Tp, nb, fl, M, interpret):
+    """Run the single-tile Nyquist-bin companion kernel.
+
+    zn4: [Tp, M, B, 1] real Nyquist spectra.  Returns the OM-LSA-gained
+    beamformer output packed as [Tp, 1, 8, fl] (sublane = b%8, lane = b//8).
+    """
+    zn = zn4.reshape(Tp, M, nb, _SUB, 1)
+    zn = jnp.transpose(zn, (0, 1, 4, 3, 2))  # [Tp, M, (plane), 8, b//8]
     zn = jnp.pad(zn, [(0, 0), (0, 0), (0, 1), (0, 0), (0, fl - nb)])  # plane 1 (imag) = zeros
     nyspec_r = pl.BlockSpec((tc, M, 1, _SUB, fl), lambda n, t: (t, 0, 0, 0, 0), memory_space=pltpu.VMEM)
     nyspec_i = pl.BlockSpec((tc, M, 1, _SUB, fl), lambda n, t: (t, 0, 1, 0, 0), memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((tc, 1, _SUB, fl), lambda n, t: (t, n, 0, 0), memory_space=pltpu.VMEM)
+    aspec = pl.BlockSpec((M, _SUB, fl), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((M, M, _SUB, fl), jnp.float32),
+        pltpu.VMEM((M, M, _SUB, fl), jnp.float32),
+        pltpu.VMEM((M, _SUB, fl), jnp.float32),
+        pltpu.VMEM((M, _SUB, fl), jnp.float32),
+    ] + [pltpu.VMEM((_SUB, fl), jnp.float32)] * 7
     sf_dummy = jnp.zeros((Tp, 1, _SUB, fl), jnp.float32)
-    ynr, yni = pl.pallas_call(
+    ynr, _ = pl.pallas_call(
         partial(_nyq_kernel, **kern_kwargs),
         grid=(1, Tp // tc),
         in_specs=[nyspec_r, nyspec_i, tspec, aspec, aspec],
@@ -312,21 +563,7 @@ def fused_enhance(
         scratch_shapes=scratch,
         interpret=interpret,
     )(zn, zn, sf_dummy, jnp.asarray(a_nyq_r), jnp.asarray(a_nyq_i))
-
-    # ---- synthesis: free reshapes back, one inverse-DFT matmul -------------
-    yr = yr[:T].reshape(T, B, fl)
-    yi = yi[:T].reshape(T, B, fl)
-    ynr = jnp.moveaxis(ynr[:T, 0, :, :nb], 2, 1).reshape(T, B, 1)
-    del yni  # the inverse sin row for the Nyquist bin is identically zero
-    # K=256 packing for the inverse matmul: the sin rows for k=0 and k=F-1
-    # are identically zero, so bin-0 imag and Nyquist imag drop out exactly
-    # (258 rows would pad to a third more contraction tiles on the MXU).
-    Yri = jnp.concatenate([yr, ynr, yi[..., 1:]], axis=-1)  # [T, B, 2F-2]
-    A, Bm = _idft_matrices(stft)
-    AB = jnp.asarray(np.concatenate([A, Bm[1:fl]], axis=0).astype(np.float32))
-    out_frames = jnp.einsum("tbk,kl->btl", Yri, AB, precision="highest")  # [B, T, L]
-    y = overlap_add(out_frames, stft.hop)
-    return y[..., : stft.hop * T] * jnp.asarray(stft.synthesis_gain, y.dtype)
+    return ynr
 
 
 def _nyq_kernel(zr_ref, zi_ref, sf_ref, ar_ref, ai_ref, yr_ref, yi_ref, *refs, **kw):
