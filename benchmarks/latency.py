@@ -1,12 +1,17 @@
-"""Streaming chunk-latency artifact for the flagship realtime path.
+"""Streaming chunk-latency artifact for the realtime pipeline zoo.
 
-Drives the MVDR+OM-LSA streaming step chunk by chunk (the reference's
-realtime app loop, realtime_processing.py:70-136) and writes the
-machine-readable latency report to LATENCY.json at the repo root —
-the regression guard for the 64 ms-per-1024-sample overflow contract
-(realtime_processing.py:126-127).
+Drives every STREAM_FACTORIES pipeline chunk by chunk (the reference's
+realtime app loop, realtime_processing.py:70-136, which drives *any*
+EnhancementMethod, :78-84) and writes the machine-readable latency report
+to LATENCY.json at the repo root — the regression guard for the
+64 ms-per-1024-sample overflow contract (realtime_processing.py:126-127).
 
-    python benchmarks/latency.py [--cpu] [--chunks N] [--out PATH]
+The flagship ("enhance") report stays at the top level for artifact
+compatibility; every pipeline (flagship included) also appears under
+``pipelines``.
+
+    python -u benchmarks/latency.py [--cpu] [--chunks N] [--out PATH] \
+        [--pipelines enhance,gsc,...]
 """
 
 from __future__ import annotations
@@ -28,25 +33,34 @@ def main(args):
         jax.config.update("jax_platforms", "cpu")
 
     from distantspeech_tpu.array.geometry import ArrayGeometry
-    from distantspeech_tpu.runtime.streaming import make_enhance_stream, wav_chunks
+    from distantspeech_tpu.runtime.streaming import STREAM_FACTORIES, wav_chunks
 
     fs, M, chunk = 16000, args.mics, args.chunk
     geom = ArrayGeometry.linear(M, 0.032, fs=fs)
-    proc = make_enhance_stream(geom, (90.0, 0.0), chunk_size=chunk, fs=fs)
+    names = args.pipelines.split(",") if args.pipelines else sorted(STREAM_FACTORIES)
 
     rng = np.random.default_rng(0)
     x = (rng.standard_normal((M, chunk * args.chunks)) * 0.1).astype(np.float32)
-    out = proc.run(wav_chunks(x, chunk))
-    assert out is not None and np.isfinite(out).all(), "non-finite streaming output"
 
-    report = proc.latency_report(skip_warmup=2)
-    report["platform"] = jax.devices()[0].platform
-    report["n_mics"] = M
-    if report["p50_ms"] is None or report["p50_ms"] <= 0:
-        raise RuntimeError(f"implausible latency report: {report}")
+    reports = {}
+    for name in names:
+        proc = STREAM_FACTORIES[name](geom, (90.0, 0.0), chunk_size=chunk, fs=fs)
+        out = proc.run(wav_chunks(x, chunk))
+        assert out is not None and np.isfinite(out).all(), f"non-finite {name} streaming output"
+        rep = proc.latency_report(skip_warmup=2)
+        if rep["p50_ms"] is None or rep["p50_ms"] <= 0:
+            raise RuntimeError(f"implausible latency report for {name}: {rep}")
+        reports[name] = rep
+        print(f"[{name}] p50={rep['p50_ms']}ms p95={rep['p95_ms']}ms "
+              f"overflows={rep['overflows']} rt_factor={rep['realtime_factor']}", file=sys.stderr)
+
+    top = dict(reports.get("enhance", reports[names[0]]))
+    top["platform"] = jax.devices()[0].platform
+    top["n_mics"] = M
+    top["pipelines"] = reports
     with open(args.out, "w") as f:
-        json.dump(report, f, indent=1)
-    print(json.dumps(report))
+        json.dump(top, f, indent=1)
+    print(json.dumps(top))
 
 
 if __name__ == "__main__":
@@ -55,5 +69,6 @@ if __name__ == "__main__":
     p.add_argument("--chunk", type=int, default=1024)
     p.add_argument("--chunks", type=int, default=40)
     p.add_argument("--mics", type=int, default=8)
+    p.add_argument("--pipelines", default=None, help="comma list (default: all)")
     p.add_argument("--out", default=os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "LATENCY.json"))
     main(p.parse_args())

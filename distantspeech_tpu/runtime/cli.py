@@ -74,15 +74,24 @@ def run(args) -> np.ndarray:
     if args.stream:
         import json
 
-        from distantspeech_tpu.runtime.streaming import make_enhance_stream, wav_chunks
+        from distantspeech_tpu.runtime.streaming import STREAM_FACTORIES, wav_chunks
 
-        if args.pipeline != "enhance":
-            raise SystemExit("--stream currently supports --pipeline enhance only")
+        factory = STREAM_FACTORIES.get(args.pipeline)
+        if factory is None:
+            raise SystemExit(
+                f"--stream supports pipelines {sorted(STREAM_FACTORIES)} "
+                f"(got {args.pipeline}); the offline mode covers the rest"
+            )
+        kwargs = {}
+        if args.pipeline == "gsc" and args.reference_exact:
+            from distantspeech_tpu.beamform import GscConfig
+
+            kwargs["cfg"] = GscConfig(n_mics=M, frame_len=args.frame_len)
         # zero-pad the tail to a whole chunk so no input is dropped; trim after
         S = x.shape[-1]
         pad = (-S) % args.chunk
         xp = np.pad(x, [(0, 0), (0, pad)]) if pad else x
-        proc = make_enhance_stream(geom, angle, chunk_size=args.chunk, fs=fs)
+        proc = factory(geom, angle, chunk_size=args.chunk, fs=fs, **kwargs)
         y = np.asarray(proc.run(wav_chunks(xp, args.chunk)))[..., :S]
         report = proc.latency_report()
         lat_path = args.latency_json or (args.output + ".latency.json")

@@ -142,6 +142,190 @@ def make_enhance_stream(
     return StreamingProcessor(step, init, chunk_size=chunk_size, fs=fs)
 
 
+def make_gsc_stream(
+    geometry, look_angle_deg=(90.0, 0.0), cfg=None, chunk_size: int = 1024, fs: int = 16000
+) -> "StreamingProcessor":
+    """Streaming frequency-domain GSC (reference example/streaming_gsc.py:
+    realtime_processing drives GSC.process per chunk).  Defaults to the
+    production-robust configuration (normalised AIC + relative SPP diagonal
+    loading) — pass an explicit ``GscConfig`` for the reference-exact one.
+    Chunk [M, chunk_size] in, [chunk_size] out."""
+    import jax.numpy as jnp
+
+    from distantspeech_tpu.beamform.gsc import GscConfig, gsc_init, gsc_step, gsc_steering
+    from distantspeech_tpu.transform.stft import istft_stream, stft_stream
+
+    if cfg is None:
+        cfg = GscConfig(n_mics=geometry.n_mics, normalize_aic=True, spp_rel_diag=1e-5)
+    if chunk_size % cfg.stft.hop != 0:
+        raise ValueError(f"chunk_size {chunk_size} must be a multiple of hop {cfg.stft.hop}")
+    M = cfg.n_mics
+    angle_rad = np.asarray(look_angle_deg, dtype=np.float64) / 180.0 * np.pi
+    a = np.asarray(gsc_steering(cfg, geometry, angle_rad), dtype=np.complex64)
+
+    def step(state, x_chunk):
+        cin, cout, gs = state
+        cin, Z = stft_stream(cin, x_chunk, cfg.stft)  # [M, J, F]
+        Zt = jnp.moveaxis(Z, -2, 0).swapaxes(-1, -2)  # [J, F, M]
+        gs, Y = jax.lax.scan(lambda s, z: gsc_step(cfg, jnp.asarray(a).astype(z.dtype), s, z), gs, Zt)
+        cout, y = istft_stream(cout, jnp.moveaxis(Y, 0, -2), cfg.stft)
+        return (cin, cout, gs), y
+
+    init = jax.jit(lambda: (
+        jnp.zeros((M, cfg.stft.overlap), jnp.float32),
+        jnp.zeros(cfg.stft.overlap, jnp.float32),
+        gsc_init(cfg),
+    ))()
+    return StreamingProcessor(step, init, chunk_size=chunk_size, fs=fs)
+
+
+def make_fdgsc_stream(
+    geometry, look_angle_deg=(90.0, 0.0), cfg=None, chunk_size: int = 1024, fs: int = 16000,
+    dc_notch_input: bool = True,
+) -> "StreamingProcessor":
+    """Streaming overlap-save robust GSC (reference example/streaming_fdgsc.py).
+
+    The offline driver's whole-signal preprocessing (DC notch IIR + time
+    alignment FIR) becomes two more carries — the block step itself is the
+    same ``fdgsc_step``, so streaming output equals offline exactly."""
+    import jax.numpy as jnp
+
+    from distantspeech_tpu.adaptive.feature import dc_notch, dc_notch_init
+    from distantspeech_tpu.array.alignment import time_alignment_filters
+    from distantspeech_tpu.beamform.fdgsc import FdGscConfig, fdgsc_init, fdgsc_step
+    from distantspeech_tpu.ops.fir import fir_filter_block
+
+    if cfg is None:
+        cfg = FdGscConfig(n_mics=geometry.n_mics)
+    L = cfg.frame_len
+    if chunk_size % L != 0:
+        raise ValueError(f"chunk_size {chunk_size} must be a multiple of frame_len {L}")
+    M = cfg.n_mics
+    angle_rad = np.asarray(look_angle_deg, dtype=np.float64) / 180.0 * np.pi
+    coeffs = np.asarray(time_alignment_filters(geometry, angle_rad), dtype=np.float32)
+    J = chunk_size // L
+
+    def step(state, x_chunk):
+        dc, cache, ps = state
+        xn = x_chunk
+        if dc_notch_input:
+            dc, xn = dc_notch(dc, x_chunk, radius=0.98)
+        cache, aligned = fir_filter_block(cache, xn, jnp.asarray(coeffs))
+        xb = jnp.moveaxis(xn.reshape(M, J, L), 1, 0)  # [J, M, L]
+        ab = jnp.moveaxis(aligned.reshape(M, J, L), 1, 0)
+        ps, (out, _, _) = jax.lax.scan(lambda s, blk: fdgsc_step(cfg, s, blk[0], blk[1]), ps, (xb, ab))
+        return (dc, cache, ps), out.reshape(-1)
+
+    init = jax.jit(lambda: (
+        dc_notch_init((M,)),
+        jnp.zeros((M, coeffs.shape[-1] - 1), jnp.float32),
+        fdgsc_init(cfg),
+    ))()
+    return StreamingProcessor(step, init, chunk_size=chunk_size, fs=fs)
+
+
+def make_subband_gsc_stream(
+    geometry, look_angle_deg=(90.0, 0.0), cfg=None, chunk_size: int = 1024, fs: int = 16000
+) -> "StreamingProcessor":
+    """Streaming SubbandGSC (reference SubbandGSC driven by the realtime
+    loop): DC notch + time alignment carries feeding ``subband_gsc_step``."""
+    import jax.numpy as jnp
+
+    from distantspeech_tpu.adaptive.feature import dc_notch, dc_notch_init
+    from distantspeech_tpu.array.alignment import time_alignment_filters
+    from distantspeech_tpu.beamform.subband_gsc import (
+        SubbandGscConfig, subband_gsc_init, subband_gsc_step,
+    )
+    from distantspeech_tpu.ops.fir import fir_filter_block
+
+    if cfg is None:
+        cfg = SubbandGscConfig(n_mics=geometry.n_mics)
+    L = cfg.frame_len
+    if chunk_size % L != 0:
+        raise ValueError(f"chunk_size {chunk_size} must be a multiple of frame_len {L}")
+    M = cfg.n_mics
+    angle_rad = np.asarray(look_angle_deg, dtype=np.float64) / 180.0 * np.pi
+    coeffs = np.asarray(time_alignment_filters(geometry, angle_rad), dtype=np.float32)
+    Fn = np.asarray(cfg.spp.mccdr.fn_pair(), dtype=np.float32)
+    J = chunk_size // L
+
+    def step(state, x_chunk):
+        dc, cache, ps = state
+        dc, xn = dc_notch(dc, x_chunk, radius=0.98)
+        cache, aligned = fir_filter_block(cache, xn, jnp.asarray(coeffs))
+        ab = jnp.moveaxis(aligned.reshape(M, J, L), 1, 0)  # [J, M, L]
+        ps, (out, _, _) = jax.lax.scan(
+            lambda s, blk: subband_gsc_step(cfg, jnp.asarray(Fn), s, blk), ps, ab
+        )
+        return (dc, cache, ps), out.reshape(-1)
+
+    init = jax.jit(lambda: (
+        dc_notch_init((M,)),
+        jnp.zeros((M, coeffs.shape[-1] - 1), jnp.float32),
+        subband_gsc_init(cfg),
+    ))()
+    return StreamingProcessor(step, init, chunk_size=chunk_size, fs=fs)
+
+
+def make_wpe_stream(
+    geometry=None, look_angle_deg=None, cfg=None, chunk_size: int = 1024, fs: int = 16000,
+    n_channels: int = None,
+) -> "StreamingProcessor":
+    """Streaming adaptive WPE dereverberation (the reference Wpe.update is
+    already frame-recursive, awpe.py:129-192): subband analysis carry, a
+    ``delay``-frame regressor delay line, the RLS state, and the synthesis
+    time-delay line.  Geometry/angle are accepted (and ignored) for registry
+    uniformity.  Chunk [C, chunk_size] in, [chunk_size] dereverberated
+    reference channel out."""
+    import jax.numpy as jnp
+
+    from distantspeech_tpu.derev.wpe import WpeConfig, wpe_init, wpe_step
+    from distantspeech_tpu.transform.subband import (
+        subband_analysis_stream, subband_synthesis_init, subband_synthesis_step,
+    )
+
+    if cfg is None:
+        C = n_channels or (geometry.n_mics if geometry is not None else 2)
+        cfg = WpeConfig(n_channels=C)
+    C = cfg.n_channels
+    sb = cfg.subband
+    if chunk_size % sb.hop != 0:
+        raise ValueError(f"chunk_size {chunk_size} must be a multiple of hop {sb.hop}")
+    h = np.asarray(sb.prototypes()[0], dtype=np.float32)
+    g = np.asarray(sb.prototypes()[1], dtype=np.float32)
+    J = chunk_size // sb.hop
+
+    def step(state, x_chunk):
+        cin, dbuf, ws, tdl = state
+        cin, Y = subband_analysis_stream(cin, x_chunk, sb, jnp.asarray(h))  # [C, J, F]
+        Dt = jnp.moveaxis(Y, 0, -1)  # [J, F, C]
+        ext = jnp.concatenate([dbuf, Dt], axis=0)  # [delay + J, F, C]
+        delayed, dbuf = ext[:J], ext[J:]
+        ws, e = jax.lax.scan(lambda s, dd: wpe_step(cfg, s, dd[0], dd[1]), ws, (Dt, delayed))
+        tdl, y = jax.lax.scan(lambda c, yf: subband_synthesis_step(c, yf, sb, jnp.asarray(g)), tdl, e[..., 0])
+        return (cin, dbuf, ws, tdl), y.reshape(-1)
+
+    init = jax.jit(lambda: (
+        jnp.zeros((C, sb.overlap), jnp.float32),
+        jnp.zeros((cfg.delay, sb.half_bin, C), jnp.complex64),
+        wpe_init(cfg),
+        subband_synthesis_init((), sb),
+    ))()
+    return StreamingProcessor(step, init, chunk_size=chunk_size, fs=fs)
+
+
+#: pipeline-name -> stream factory; the CLI's --stream resolves here (the
+#: reference's realtime_processing drives *any* EnhancementMethod,
+#: realtime/realtime_processing.py:78-84 — this registry is that contract).
+STREAM_FACTORIES = {
+    "enhance": make_enhance_stream,
+    "gsc": make_gsc_stream,
+    "fdgsc": make_fdgsc_stream,
+    "subband_gsc": make_subband_gsc_stream,
+    "wpe": make_wpe_stream,
+}
+
+
 def wav_chunks(x: np.ndarray, chunk_size: int) -> Iterator[np.ndarray]:
     """Slice [C, S] audio into [C, chunk_size] chunks (tail dropped)."""
     for i in range(0, x.shape[-1] - chunk_size + 1, chunk_size):

@@ -117,6 +117,90 @@ def test_cli_stream_rejects_unsupported_pipeline():
         from distantspeech_tpu.runtime.io import save_audio
 
         save_audio(inp, np.zeros((2048, 2), dtype=np.float32))
-        args = build_parser().parse_args([inp, os.path.join(d, "o.wav"), "--pipeline", "gsc", "--stream"])
+        args = build_parser().parse_args([inp, os.path.join(d, "o.wav"), "--pipeline", "mccowan", "--stream"])
         with pytest.raises(SystemExit):
             run(args)
+
+
+def _stream_scene(M, S, seed=11):
+    rng = np.random.default_rng(seed)
+    t = np.arange(S) / 16000
+    env = (np.sin(2 * np.pi * 2.0 * t) > 0).astype(np.float32)
+    tgt = env * rng.standard_normal(S).astype(np.float32)
+    return (0.2 * rng.standard_normal((M, S)) + 0.5 * tgt).astype(np.float32)
+
+
+def test_streaming_gsc_matches_offline():
+    """--stream capability for the GSC pipeline (reference
+    example/streaming_gsc.py): chunked output equals gsc_process."""
+    from distantspeech_tpu.beamform.gsc import GscConfig, gsc_process
+    from distantspeech_tpu.runtime.streaming import make_gsc_stream
+
+    M, chunk, n_chunks = 4, 512, 6
+    cfg = GscConfig(n_mics=M, normalize_aic=True, spp_rel_diag=1e-5)
+    geom = ArrayGeometry.circular(M, 0.032)
+    x = _stream_scene(M, chunk * n_chunks)
+    angle_rad = (np.pi / 2, 0.0)
+
+    proc = make_gsc_stream(geom, (90.0, 0.0), cfg, chunk_size=chunk)
+    got = proc.run(wav_chunks(x, chunk))
+    want = np.asarray(gsc_process(jnp.asarray(x), geom, angle_rad, cfg))
+    n = min(len(got), len(want))
+    scale = max(np.max(np.abs(want)), 1e-9)
+    np.testing.assert_allclose(got[:n], want[:n], atol=1e-4 * scale)
+
+
+def test_streaming_fdgsc_matches_offline():
+    """--stream capability for FDGSC (reference example/streaming_fdgsc.py)."""
+    from distantspeech_tpu.beamform.fdgsc import FdGscConfig, fdgsc_process
+    from distantspeech_tpu.runtime.streaming import make_fdgsc_stream
+
+    M, chunk, n_chunks = 4, 512, 4
+    cfg = FdGscConfig(n_mics=M)
+    geom = ArrayGeometry.linear(M, 0.032)
+    x = _stream_scene(M, chunk * n_chunks, seed=12)
+    angle_rad = (np.pi / 2, 0.0)
+
+    proc = make_fdgsc_stream(geom, (90.0, 0.0), cfg, chunk_size=chunk)
+    got = proc.run(wav_chunks(x, chunk))
+    want, _, _ = fdgsc_process(jnp.asarray(x), geom, angle_rad, cfg)
+    want = np.asarray(want)
+    n = min(len(got), len(want))
+    scale = max(np.max(np.abs(want)), 1e-9)
+    np.testing.assert_allclose(got[:n], want[:n], atol=1e-4 * scale)
+
+
+def test_streaming_subband_gsc_matches_offline():
+    from distantspeech_tpu.beamform.subband_gsc import SubbandGscConfig, subband_gsc_process
+    from distantspeech_tpu.runtime.streaming import make_subband_gsc_stream
+
+    M, chunk, n_chunks = 4, 512, 4
+    cfg = SubbandGscConfig(n_mics=M)
+    geom = ArrayGeometry.circular(M, 0.032)
+    x = _stream_scene(M, chunk * n_chunks, seed=13)
+    angle_rad = (np.pi / 2, 0.0)
+
+    proc = make_subband_gsc_stream(geom, (90.0, 0.0), cfg, chunk_size=chunk)
+    got = proc.run(wav_chunks(x, chunk))
+    want, _, _ = subband_gsc_process(jnp.asarray(x), geom, angle_rad, cfg)
+    want = np.asarray(want)
+    n = min(len(got), len(want))
+    scale = max(np.max(np.abs(want)), 1e-9)
+    np.testing.assert_allclose(got[:n], want[:n], atol=1e-4 * scale)
+
+
+def test_streaming_wpe_matches_offline():
+    from distantspeech_tpu.derev.wpe import WpeConfig, wpe_process
+    from distantspeech_tpu.runtime.streaming import make_wpe_stream
+
+    C = 2
+    cfg = WpeConfig(n_channels=C)
+    chunk = cfg.subband.hop * 8
+    x = _stream_scene(C, chunk * 4, seed=14)
+
+    proc = make_wpe_stream(cfg=cfg, chunk_size=chunk)
+    got = proc.run(wav_chunks(x, chunk))
+    want = np.asarray(wpe_process(jnp.asarray(x), cfg))
+    n = min(len(got), len(want))
+    scale = max(np.max(np.abs(want)), 1e-9)
+    np.testing.assert_allclose(got[:n], want[:n], atol=1e-4 * scale)
