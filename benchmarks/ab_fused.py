@@ -20,6 +20,12 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="smaller pairs, no retries")
     ap.add_argument("--cpu", action="store_true", help="force CPU (semantics only)")
+    ap.add_argument("--parts", action="store_true",
+                    help="profile mode: time mega_bf16x3 sub-configurations instead")
+    ap.add_argument("--fast-gate", action="store_true",
+                    help="gate variants against fused_enhance instead of the scan "
+                         "reference (whose B=2 compile takes ~7 min on axon); fused "
+                         "itself is scan-gated by bench.py every round")
     args = ap.parse_args()
 
     import jax
@@ -33,7 +39,6 @@ def main():
     from distantspeech_tpu.array.steering import steering_vector
     from distantspeech_tpu.beamform.enhance import EnhanceConfig, enhance_init, enhance_scan
     from distantspeech_tpu.ops.pallas_enhance import fused_enhance, fused_enhance_full
-    from distantspeech_tpu.runtime.profiling import slope_per_iter
     from distantspeech_tpu.transform import analysis, synthesis
 
     fs = 16000
@@ -69,25 +74,45 @@ def main():
     variants = {
         "fused": jax.jit(lambda x: fused_enhance(x, steer, cfg)),
         "mega": jax.jit(lambda x: fused_enhance_full(x, steer, cfg)),
+        "mega_bf16x3": jax.jit(lambda x: fused_enhance_full(x, steer, cfg, mxu="bf16x3")),
     }
+    if args.parts:
+        variants = {
+            "mega_bf16x3": variants["mega_bf16x3"],
+            "b3_no_nyq": jax.jit(lambda x: fused_enhance_full(x, steer, cfg, mxu="bf16x3", _skip_nyquist=True)),
+            "b3_tc32": jax.jit(lambda x: fused_enhance_full(x, steer, cfg, mxu="bf16x3", t_chunk=32)),
+            "b3_tc16": jax.jit(lambda x: fused_enhance_full(x, steer, cfg, mxu="bf16x3", t_chunk=16)),
+        }
 
     # ---- parity gates (compile at gate shape first; fail fast) -------------
-    y_ref = scan_ref(x_gate)
-    for name, fn in variants.items():
+    if args.parts:
+        gate_names = []  # parts intentionally diverge (e.g. no Nyquist bin)
+        y_ref = None
+    elif args.fast_gate:
+        y_ref = variants["fused"](jnp.tile(x_gate, (4, 1, 1)))[:2]
+        gate_names = [n for n in variants if n != "fused"]
+    else:
+        y_ref = scan_ref(x_gate)
+        gate_names = list(variants)
+    for name in gate_names:
         t0 = time.perf_counter()
-        y = fn(jnp.tile(x_gate, (4, 1, 1)))[:2]
+        y = variants[name](jnp.tile(x_gate, (4, 1, 1)))[:2]
         rel = float(jax.device_get(gap(y_ref, y)))
         print(f"[{name}] gate rel={rel:.2e} (compile+run {time.perf_counter()-t0:.1f}s)", file=sys.stderr)
         if not (np.isfinite(rel) and rel < 1e-3):
             raise RuntimeError(f"{name} parity gate FAILED: {rel:.3e}")
 
     # ---- timed A/B at flagship shape ----------------------------------------
+    # Tunnel throughput drifts on a multi-minute scale (measured: the same
+    # variant 2.7 vs 7.6 ms/iter in back-to-back runs), so variants are
+    # INTERLEAVED: each round measures one slope per variant, and the
+    # reported number is the per-variant median (and min) across rounds.
     x = jnp.asarray(rng.standard_normal((batch, n_mics, S)).astype(np.float32))
     audio_seconds = batch * seconds_per_utt
-    results = {}
-    pairs = ((1, 4), (2, 5), (1, 5)) if args.quick else ((2, 8), (3, 11), (4, 14))
-    for name, fn in variants.items():
-        def timed(iters, fn=fn):
+    rounds = 2 if args.quick else 4
+
+    def make_timed(fn):
+        def timed(iters):
             t0 = time.perf_counter()
             xi = x
             for _ in range(iters):
@@ -96,18 +121,33 @@ def main():
             s = float(jax.device_get(jnp.sum(y[:, :16])))
             assert np.isfinite(s), s
             return time.perf_counter() - t0
+        return timed
 
-        timed(1)
-        timed(1)
-        per_iter, retries = slope_per_iter(
-            timed, pairs=pairs, retries=0 if args.quick else 2,
-            min_per_iter=audio_seconds / 1e6,
-            log=lambda m: print(m, file=sys.stderr),
-        )
+    timers = {name: make_timed(fn) for name, fn in variants.items()}
+    for t in timers.values():  # compile + transfer-path warmup
+        t(1)
+        t(1)
+
+    # span must dwarf the fetch/dispatch jitter (tens of ms on the tunnel):
+    # 100 chained iters ~ 250 ms of device work per slope
+    LO, HI = (4, 24) if args.quick else (10, 110)
+    slopes = {name: [] for name in variants}
+    for r in range(rounds):
+        for name, t in timers.items():
+            lo, hi = t(LO), t(HI)
+            slopes[name].append((hi - lo) / (HI - LO))
+            print(f"round {r} [{name}] {slopes[name][-1]*1e3:.3f} ms/iter", file=sys.stderr)
+
+    results = {}
+    for name, ss in slopes.items():
+        med, best = float(np.median(ss)), float(np.min(ss))
+        if not (np.isfinite(med) and med > audio_seconds / 1e6):
+            raise RuntimeError(f"implausible slope for {name}: {ss}")
         results[name] = {
-            "ms_per_iter": round(per_iter * 1e3, 3),
-            "audio_s_per_s": round(audio_seconds / per_iter, 1),
-            "retries": retries,
+            "ms_per_iter_median": round(med * 1e3, 3),
+            "ms_per_iter_min": round(best * 1e3, 3),
+            "audio_s_per_s_median": round(audio_seconds / med, 1),
+            "audio_s_per_s_best": round(audio_seconds / best, 1),
         }
         print(f"[{name}] {results[name]}", file=sys.stderr)
 

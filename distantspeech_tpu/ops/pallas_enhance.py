@@ -311,6 +311,18 @@ def fused_enhance(
     return y[..., : stft.hop * T] * jnp.asarray(stft.synthesis_gain, y.dtype)
 
 
+def _dot3(a, w_hi, w_lo):
+    """Three-pass bf16 matmul of an f32 operand against a constant matrix
+    pre-split as w = w_hi + w_lo (both bf16): a@w = a_hi@w_hi + a_hi@w_lo +
+    a_lo@w_hi, dropping the ~2^-16 a_lo@w_lo term.  ~1e-5 relative error
+    with f32 accumulation — half the MXU passes of precision='highest'."""
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = jnp.dot(a_hi, w_hi, preferred_element_type=jnp.float32)
+    out = out + jnp.dot(a_hi, w_lo, preferred_element_type=jnp.float32)
+    return out + jnp.dot(a_lo, w_hi, preferred_element_type=jnp.float32)
+
+
 def _mega_kernel(
     sig_ref, halo_ref, cs_ref, ab_ref, ar_ref, ai_ref,  # inputs
     y_ref,  # output: [Tc, 1, 8, hop] overlap-added time-domain chunk
@@ -319,7 +331,7 @@ def _mega_kernel(
     L: int, alpha_s: float, alpha_p: float, alpha_d: float, delta_s: float,
     p_min: float, p_max: float, b: tuple,
     alpha_v: float, diag: float, rel_diag: float, p_vad: float,
-    alpha_xi: float, gmin: float,
+    alpha_xi: float, gmin: float, mxu: str = "highest",
 ):
     """The whole flagship pipeline in ONE kernel: framing + windowed DFT +
     MCRA (cross-bin smoothing via lane shifts) + gated MVDR + OM-LSA +
@@ -347,15 +359,17 @@ def _mega_kernel(
         Gam[...] = jnp.ones_like(Gam)
 
     # ---- analysis: two half-frame dots per mic (framing never materialised)
-    W1 = cs_ref[:fl]
-    W2 = cs_ref[fl:]
     for m in range(M):
         a1 = sig_ref[:, m]  # [Tc, 8, hop]
         a2 = jnp.concatenate([a1[1:], halo_ref[:, m]], axis=0)
-        z = jnp.dot(a1.reshape(Tc * _SUB, fl), W1,
-                    precision="highest", preferred_element_type=jnp.float32)
-        z = z + jnp.dot(a2.reshape(Tc * _SUB, fl), W2,
+        if mxu == "bf16x3":
+            a12 = jnp.concatenate([a1, a2], axis=-1).reshape(Tc * _SUB, 2 * fl)
+            z = _dot3(a12, cs_ref[0], cs_ref[1])
+        else:
+            z = jnp.dot(a1.reshape(Tc * _SUB, fl), cs_ref[:fl],
                         precision="highest", preferred_element_type=jnp.float32)
+            z = z + jnp.dot(a2.reshape(Tc * _SUB, fl), cs_ref[fl:],
+                            precision="highest", preferred_element_type=jnp.float32)
         Z[m] = z.reshape(Tc, _SUB, 2 * fl)
 
     ar = [ar_ref[m] for m in range(M)]
@@ -407,8 +421,11 @@ def _mega_kernel(
     jax.lax.fori_loop(0, Tc, frame, 0)
 
     # ---- synthesis + overlap-add (50% overlap: y[t] = f[t,:hop]+f[t-1,hop:])
-    f = jnp.dot(Yri[...].reshape(Tc * _SUB, 2 * fl), ab_ref[...],
-                precision="highest", preferred_element_type=jnp.float32)
+    yri_flat = Yri[...].reshape(Tc * _SUB, 2 * fl)
+    if mxu == "bf16x3":
+        f = _dot3(yri_flat, ab_ref[0], ab_ref[1])
+    else:
+        f = jnp.dot(yri_flat, ab_ref[...], precision="highest", preferred_element_type=jnp.float32)
     f = f.reshape(Tc, _SUB, 2 * fl)
     prev = jnp.concatenate([OAc[...], f[:-1, :, fl:]], axis=0)
     y_ref[:, 0] = f[:, :, :fl] + prev
@@ -421,6 +438,8 @@ def fused_enhance_full(
     cfg,
     interpret: bool = False,
     t_chunk: int = None,
+    mxu: str = "highest",
+    _skip_nyquist: bool = False,
 ) -> jnp.ndarray:
     """Mega-fused flagship: the ENTIRE pipeline (STFT analysis included) in
     one Pallas call plus the tiny Nyquist companion.
@@ -470,10 +489,23 @@ def fused_enhance_full(
         blocks = jnp.pad(blocks, [(0, 0), (0, 0), (0, Tp - T), (0, 0)])
     blocksT = jnp.transpose(blocks, (2, 1, 0, 3))  # [Tp+1, M, B, hop]
 
+    if mxu not in ("highest", "bf16x3"):
+        raise ValueError(f"mxu must be 'highest' or 'bf16x3', got {mxu!r}")
     C, Sn = _dft_matrices(stft)
     CS = np.concatenate([C[:, :fl], C[:, fl:], Sn[:, 1:fl]], axis=1).astype(np.float32)
     A, Bm = _idft_matrices(stft)
     AB = np.concatenate([A, Bm[1:fl]], axis=0).astype(np.float32)
+    if mxu == "bf16x3":
+        import ml_dtypes
+
+        def hi_lo(W):
+            hi = W.astype(ml_dtypes.bfloat16)
+            lo = (W - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+            return np.stack([hi, lo])
+
+        CS_in, AB_in = hi_lo(CS), hi_lo(AB)
+    else:
+        CS_in, AB_in = CS, AB
 
     a_main_r = np.broadcast_to(np.real(steer[:fl]).T[:, None, :], (M, _SUB, fl)).astype(np.float32)
     a_main_i = np.broadcast_to(np.imag(steer[:fl]).T[:, None, :], (M, _SUB, fl)).astype(np.float32)
@@ -490,8 +522,8 @@ def fused_enhance_full(
 
     sig_spec = pl.BlockSpec((tc, M, _SUB, hop), lambda n, t: (t, 0, n, 0), memory_space=pltpu.VMEM)
     halo_spec = pl.BlockSpec((1, M, _SUB, hop), lambda n, t: (t * tc + tc, 0, n, 0), memory_space=pltpu.VMEM)
-    cs_spec = pl.BlockSpec((stft.n_fft, 2 * fl), lambda n, t: (0, 0), memory_space=pltpu.VMEM)
-    ab_spec = pl.BlockSpec((2 * fl, stft.n_fft), lambda n, t: (0, 0), memory_space=pltpu.VMEM)
+    cs_spec = pl.BlockSpec(CS_in.shape, lambda n, t: (0,) * CS_in.ndim, memory_space=pltpu.VMEM)
+    ab_spec = pl.BlockSpec(AB_in.shape, lambda n, t: (0,) * AB_in.ndim, memory_space=pltpu.VMEM)
     aspec = pl.BlockSpec((M, _SUB, fl), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM)
     yspec = pl.BlockSpec((tc, 1, _SUB, hop), lambda n, t: (t, n, 0, 0), memory_space=pltpu.VMEM)
 
@@ -506,14 +538,18 @@ def fused_enhance_full(
     ] + [pltpu.VMEM((_SUB, fl), jnp.float32)] * 7
 
     y_main = pl.pallas_call(
-        partial(_mega_kernel, b=tuple(float(v) for v in mc.b), **kern_kwargs),
+        partial(_mega_kernel, b=tuple(float(v) for v in mc.b), mxu=mxu, **kern_kwargs),
         grid=(nb, Tp // tc),
         in_specs=[sig_spec, halo_spec, cs_spec, ab_spec, aspec, aspec],
         out_specs=yspec,
         out_shape=jax.ShapeDtypeStruct((Tp, nb, _SUB, hop), jnp.float32),
         scratch_shapes=mega_scratch,
         interpret=interpret,
-    )(blocksT, blocksT, jnp.asarray(CS), jnp.asarray(AB), jnp.asarray(a_main_r), jnp.asarray(a_main_i))
+    )(blocksT, blocksT, jnp.asarray(CS_in), jnp.asarray(AB_in), jnp.asarray(a_main_r), jnp.asarray(a_main_i))
+
+    if _skip_nyquist:  # part-isolation mode for the A/B profiler only
+        y = y_main[:T].reshape(T, B, hop)
+        return jnp.moveaxis(y, 0, 1).reshape(B, T * hop) * jnp.asarray(stft.synthesis_gain, y.dtype)
 
     # ---- Nyquist branch: windowed-DFT matvec -> companion kernel -----------
     w_nyq = CS[:, fl]

@@ -22,8 +22,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("input", help="input wav (multichannel) or directory of per-channel wavs")
     p.add_argument("output", help="output wav path")
     p.add_argument("--pipeline", default="enhance",
-                   choices=["fixed_ds", "fixed_sd", "mvdr", "enhance", "pmwf", "gsc", "tdgsc",
-                            "fdgsc", "subband_gsc", "dios_gsc", "mccowan", "wpe", "kws", "binaural"])
+                   choices=["fixed_ds", "fixed_sd", "mvdr", "enhance", "pmwf", "gsc", "gsc_time",
+                            "tdgsc", "fdgsc", "subband_gsc", "dios_gsc", "mccowan", "wpe", "kws",
+                            "binaural"])
     p.add_argument("--array", default="linear", choices=["linear", "circular"])
     p.add_argument("--mics", type=int, default=None, help="number of mics (default: all channels)")
     p.add_argument("--spacing", type=float, default=0.032, help="spacing / radius in metres")
@@ -129,6 +130,10 @@ def run(args) -> np.ndarray:
         else:
             cfg = GscConfig(n_mics=M, frame_len=args.frame_len, normalize_aic=True, spp_rel_diag=1e-5)
         y = gsc_process(xj, geom, angle_rad, cfg)
+    elif args.pipeline == "gsc_time":
+        from distantspeech_tpu.beamform import gsc_process_time
+
+        y = gsc_process_time(xj, geom, angle_rad, frame_len=args.frame_len)
     elif args.pipeline == "tdgsc":
         from distantspeech_tpu.beamform import TdGscConfig, tdgsc_process
 

@@ -15,6 +15,7 @@ from distantspeech_tpu.beamform import (
     ccafbounds,
     fdgsc_process,
     gsc_process,
+    gsc_process_time,
     subband_gsc_process,
     tdgsc_process,
 )
@@ -95,6 +96,22 @@ def test_gsc_frequency_parity():
 
     geom = ArrayGeometry.circular(4, 0.032, c=343.0)
     out = np.asarray(gsc_process(jnp.asarray(x), geom, tuple(angle), GscConfig(n_mics=4, frame_len=256)))
+    n = min(len(out), len(out_ref))
+    np.testing.assert_allclose(out[:n], out_ref[:n], rtol=1e-6, atol=1e-8)
+
+
+def test_gsc_process_time_parity():
+    """Time-domain GSC path vs the reference ``GSC.process1``
+    (GSC.py:145-173): DC notch -> time alignment -> mean FBF ->
+    adjacent-difference BM -> causal FLMS AIC with fir_truncate=30."""
+    mic = _mic_array()
+    gsc_mod = refutil.load("DistantSpeech.beamformer.GSC")
+    ref = gsc_mod.GSC(mic, frameLen=256)
+    x = _scene(M=4, S=256 * 16, seed=6) * 0.1
+    out_ref = ref.process1(x.T.copy())
+
+    geom = ArrayGeometry.circular(4, 0.032, c=343.0)
+    out = np.asarray(gsc_process_time(jnp.asarray(x), geom, frame_len=256))
     n = min(len(out), len(out_ref))
     np.testing.assert_allclose(out[:n], out_ref[:n], rtol=1e-6, atol=1e-8)
 

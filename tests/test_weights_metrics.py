@@ -17,6 +17,7 @@ from distantspeech_tpu.stats.metrics import beampattern, wng_di
 from distantspeech_tpu.stats.weights import (
     blind_analytic_normalization,
     gev_weights,
+    pca_steering,
     pmwf_weights,
 )
 
@@ -46,6 +47,34 @@ def test_ban_parity(ref_mods):
     want = ref_mods["beamformer"].blind_analytic_normalization(w, Rvv)
     got = np.asarray(blind_analytic_normalization(jnp.asarray(w), jnp.asarray(Rvv)))
     np.testing.assert_allclose(got, want, rtol=1e-8, atol=1e-10)
+
+
+def test_pca_steering_parity(ref_mods):
+    """Covariance-whitened steering estimator vs reference ``steering``
+    (beamformer.py:10-31) — eigenvectors are sign/phase-ambiguous, but both
+    implementations pin the phase to channel 0, so they agree up to a real
+    positive scale of 1 (eigh normalises)."""
+    rng = np.random.default_rng(5)
+    F, M = 129, 4
+    Rxx = _random_psd(rng, F, M)
+
+    want = ref_mods["beamformer"].steering(Rxx)
+    got = np.asarray(pca_steering(jnp.asarray(Rxx)))
+    np.testing.assert_allclose(got, want, rtol=1e-7, atol=1e-9)
+
+
+def test_pca_steering_recovers_rank1_direction():
+    """On a rank-1 coherent-source covariance the PCA steering equals the
+    true propagation vector (up to the channel-0 phase convention) — the
+    DOA-free MVDR companion use (examples/run_pca_mvdr.py)."""
+    rng = np.random.default_rng(6)
+    F, M = 65, 6
+    a = np.exp(1j * rng.uniform(-np.pi, np.pi, (F, M)))
+    Rxx = 4.0 * a[..., :, None] * np.conj(a[..., None, :]) + 1e-6 * np.eye(M)
+    got = np.asarray(pca_steering(jnp.asarray(Rxx)))
+    want = a / np.exp(1j * np.angle(a[..., :1]))
+    want = want / np.linalg.norm(want, axis=-1, keepdims=True)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
 def test_pmwf_weight_parity(ref_mods):
