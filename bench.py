@@ -39,7 +39,7 @@ def main():
     from distantspeech_tpu.array.geometry import ArrayGeometry
     from distantspeech_tpu.array.steering import steering_vector
     from distantspeech_tpu.beamform.enhance import EnhanceConfig, enhance_init, enhance_scan
-    from distantspeech_tpu.ops.pallas_enhance import fused_enhance
+    from distantspeech_tpu.ops.pallas_enhance import fused_enhance_full
     from distantspeech_tpu.runtime.profiling import slope_per_iter
     from distantspeech_tpu.transform import analysis, synthesis
 
@@ -71,7 +71,7 @@ def main():
 
     @jax.jit
     def fused_gate(x2):
-        y = fused_enhance(jnp.tile(x2, (4, 1, 1)), steer, cfg)
+        y = fused_enhance_full(jnp.tile(x2, (4, 1, 1)), steer, cfg, mxu="bf16x3")
         return y[:2]
 
     @jax.jit
@@ -89,9 +89,11 @@ def main():
     # ---- timed pipeline -----------------------------------------------------
     @jax.jit
     def forward(x):
-        # fully-fused fast path: STFT->MCRA->MVDR->OM-LSA->ISTFT in two
-        # Pallas calls with in-kernel noise tracking (ops/pallas_enhance.py)
-        return fused_enhance(x, steer, cfg)
+        # mega-fused fast path: framing, windowed DFT, MCRA, MVDR, OM-LSA,
+        # inverse DFT and overlap-add in ONE Pallas call (+ the tiny Nyquist
+        # companion), analysis/synthesis dots in 3-pass bf16 (~1e-5 rel —
+        # the parity gate above bounds the end-to-end error at 1e-3)
+        return fused_enhance_full(x, steer, cfg, mxu="bf16x3")
 
     x = jnp.asarray(rng.standard_normal((batch, n_mics, S)).astype(np.float32))
 
@@ -115,9 +117,12 @@ def main():
     timed(1)
 
     audio_seconds = batch * seconds_per_utt
+    # wide spans: the tunnel's dispatch/fetch jitter is tens of ms, so each
+    # slope must cover ~100 iterations (~250 ms of device work) to keep the
+    # noise under a few percent (measured round 3: 6-iter spans varied 2x)
     per_iter, retries = slope_per_iter(
         timed,
-        pairs=((2, 8), (3, 11), (4, 14)),
+        pairs=((10, 110), (15, 115), (20, 120)),
         retries=2,
         min_per_iter=audio_seconds / SANITY_CEILING,
         log=lambda m: print(m, file=sys.stderr),

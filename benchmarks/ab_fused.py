@@ -78,10 +78,9 @@ def main():
     }
     if args.parts:
         variants = {
-            "mega_bf16x3": variants["mega_bf16x3"],
+            "mega_bf16x3": variants["mega_bf16x3"],  # now with parallel dimension_semantics
             "b3_no_nyq": jax.jit(lambda x: fused_enhance_full(x, steer, cfg, mxu="bf16x3", _skip_nyquist=True)),
-            "b3_tc32": jax.jit(lambda x: fused_enhance_full(x, steer, cfg, mxu="bf16x3", t_chunk=32)),
-            "b3_tc16": jax.jit(lambda x: fused_enhance_full(x, steer, cfg, mxu="bf16x3", t_chunk=16)),
+            "b3_full_unroll": jax.jit(lambda x: fused_enhance_full(x, steer, cfg, mxu="bf16x3", unroll="full")),
         }
 
     # ---- parity gates (compile at gate shape first; fail fast) -------------

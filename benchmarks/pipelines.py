@@ -49,6 +49,10 @@ def main():
                    help="comma-separated pipeline-name substrings to run (each "
                         "pipeline compiles for minutes over the axon tunnel — "
                         "select what you need)")
+    p.add_argument("--out", default=None,
+                   help="also write/merge results into this JSON artifact "
+                        "(e.g. PIPELINES_r03.json); existing entries for other "
+                        "pipelines are preserved, same-name entries overwritten")
     args = p.parse_args()
     import jax
 
@@ -58,14 +62,20 @@ def main():
 
     from distantspeech_tpu.array.geometry import ArrayGeometry
     from distantspeech_tpu.beamform import (
-        FdGscConfig, FixedBeamformerConfig, GscConfig, PmwfConfig, TdGscConfig,
-        fdgsc_process, fixed_beamformer_weights, fixed_process, gsc_process,
-        mvdr_process, pmwf_process, tdgsc_process,
+        DiosGscConfig, FdGscConfig, FixedBeamformerConfig, GscConfig, PmwfConfig,
+        SubbandGscConfig, TdGscConfig, dios_gsc_process, fdgsc_process,
+        fixed_beamformer_weights, fixed_process, gsc_process, mvdr_process,
+        pmwf_process, subband_gsc_process, tdgsc_process,
     )
     from distantspeech_tpu.beamform.enhance import EnhanceConfig, enhance_process
     from distantspeech_tpu.coherence.enhance import BinauralConfig, binaural_process
     from distantspeech_tpu.derev import WpeConfig, wpe_process
+    from distantspeech_tpu.derev.wpe import wpe_run
+    from distantspeech_tpu.doa.srp import SrpConfig, srp_process
     from distantspeech_tpu.kws import DualMicKwsConfig, kws_process
+    from distantspeech_tpu.postfilter import McCowanConfig, mccowan_process
+    from distantspeech_tpu.runtime.full_stack import FullStackConfig, full_stack_process
+    from distantspeech_tpu.transform.subband import subband_analysis, subband_synthesis
 
     fs = 16000
     B, S = args.batch, int(args.seconds * fs) // 128 * 128
@@ -97,7 +107,39 @@ def main():
         "wpe_2mic": (lambda x: wpe_process(x, WpeConfig(n_channels=2)), mk_x(2)),
         "kws_2mic": (lambda x: kws_process(x, DualMicKwsConfig()), mk_x(2)),
         "binaural_2mic": (lambda x: binaural_process(x, geom2, BinauralConfig())[0], mk_x(2)),
+        "subband_gsc_4mic": (
+            lambda x: subband_gsc_process(x, geom4, ang, SubbandGscConfig(n_mics=4))[0], mk_x(4)),
+        "dios_gsc_4mic": (
+            lambda x: dios_gsc_process(
+                x, jnp.asarray(time_alignment_coeffs), DiosGscConfig(n_mics=4))[0], mk_x(4)),
+        "mccowan_4mic": (lambda x: _mccowan(x), mk_x(4)),
+        "srp_8mic": (lambda x: srp_process(x, geom8)[0], mk_x(8)),
+        # BASELINE config 4: WPE dereverb (all channels) -> SRP-PHAT DOA
+        "wpe_srp_8mic": (lambda x: _wpe_srp(x), mk_x(8)),
+        # BASELINE config 5: AEC + time alignment + GSC + postfilter + KWS
+        "full_stack_4mic": (lambda x: full_stack_process(x, x[..., 0, :], geom4, ang)[0], mk_x(4)),
     }
+
+    wcfg8 = WpeConfig(n_channels=8)
+    srp8 = SrpConfig()
+
+    def _wpe_srp(x):
+        Y = subband_analysis(x, wcfg8.subband)  # [B, C, T, F]
+        D = jnp.moveaxis(jnp.moveaxis(Y, -3, -1), -3, 0)  # [T, B, F, C]
+        e = wpe_run(wcfg8, D)
+        yc = subband_synthesis(jnp.moveaxis(e, 0, -2).swapaxes(-1, -3), wcfg8.subband)
+        return srp_process(yc, geom8, srp8)[0]
+
+    mc_fix = FixedBeamformerConfig(weight_type="DS")
+    W_ds = fixed_beamformer_weights(geom4, (90.0, 0.0), mc_fix)
+
+    def _mccowan(x):
+        ds = fixed_process(x, jnp.asarray(W_ds), mc_fix.stft)
+        return mccowan_process(x, ds, geom4, McCowanConfig(n_mics=4))
+
+    from distantspeech_tpu.array.alignment import time_alignment_filters
+
+    time_alignment_coeffs = np.asarray(time_alignment_filters(geom4, ang), dtype=np.float32)
     if not args.cpu:
         cases["enhance_pallas_8mic"] = (
             lambda x: enhance_process(x, geom8, (90.0, 0.0), backend="pallas"), mk_x(8),
@@ -106,20 +148,42 @@ def main():
             cases["enhance_fused_8mic"] = (
                 lambda x: enhance_process(x, geom8, (90.0, 0.0), backend="fused"), mk_x(8),
             )
+            cases["enhance_mega_8mic"] = (
+                lambda x: enhance_process(x, geom8, (90.0, 0.0), backend="mega"), mk_x(8),
+            )
 
     if args.only:
         keys = [k.strip() for k in args.only.split(",")]
         cases = {n: c for n, c in cases.items() if any(k in n for k in keys)}
 
+    entries = {}
     for name, (fn, x) in cases.items():
         try:
-            # near-instant pipelines (fixed BF) need more chained iterations
-            # for the slope to rise above the tunnel's readback jitter
-            pairs = ((4, 16), (6, 22), (8, 28)) if name.startswith("fixed") else ((1, 4), (2, 6), (2, 8))
+            # wide spans: tunnel jitter is tens of ms, so each slope covers
+            # >= 20 chained iterations (fast pipelines get 50+)
+            fast = name.startswith(("fixed", "enhance_fused", "enhance_pallas", "enhance_mega"))
+            pairs = ((10, 60), (15, 75), (20, 90)) if fast else ((2, 12), (3, 18), (4, 24))
             v = _throughput(jax.jit(fn), x, audio, pairs=pairs)
-            print(json.dumps({"pipeline": name, "audio_s_per_s": round(v, 1), "batch": B}))
+            entries[name] = {"pipeline": name, "audio_s_per_s": round(v, 1), "batch": B,
+                             "seconds_per_utt": args.seconds}
         except Exception as e:  # keep going if one pipeline trips an env issue
-            print(json.dumps({"pipeline": name, "error": f"{type(e).__name__}"}))
+            entries[name] = {"pipeline": name, "error": f"{type(e).__name__}: {e}"[:300]}
+        print(json.dumps(entries[name]), flush=True)
+
+    if args.out:
+        import os
+
+        artifact = {"platform": jax.devices()[0].platform, "pipelines": {}}
+        if os.path.exists(args.out):
+            try:
+                with open(args.out) as f:
+                    artifact = json.load(f)
+            except Exception:
+                pass
+        artifact["platform"] = jax.devices()[0].platform
+        artifact.setdefault("pipelines", {}).update(entries)
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=1)
 
 
 if __name__ == "__main__":

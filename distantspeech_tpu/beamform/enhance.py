@@ -125,15 +125,19 @@ def enhance_process(
     """Offline MVDR+OM-LSA of a time-domain batch.  x: [..., M, S] -> [..., S].
 
     backend: 'scan' (pure lax.scan, any batch shape / any device),
-    'pallas' (fused MVDR/OM-LSA kernel; needs x of shape [B, M, S]) or
-    'fused' (the fastest path — STFT through ISTFT in two Pallas calls with
-    in-kernel MCRA; needs [B, M, S] with B a multiple of 8 and n_fft a
-    multiple of 256; see ops.pallas_enhance)."""
+    'pallas' (fused MVDR/OM-LSA kernel; needs x of shape [B, M, S]),
+    'fused' (STFT through ISTFT in two Pallas calls with in-kernel MCRA;
+    needs [B, M, S] with B a multiple of 8 and n_fft a multiple of 256) or
+    'mega' (the fastest path — the whole pipeline incl. analysis/synthesis
+    in ONE Pallas call with bf16x3 DFT dots, ~1e-5 analysis error; same
+    shape restrictions as 'fused'; see ops.pallas_enhance)."""
     angle_rad = np.asarray(look_angle_deg, dtype=np.float64) / 180.0 * np.pi
-    if backend == "fused":
-        from distantspeech_tpu.ops.pallas_enhance import fused_enhance
+    if backend in ("fused", "mega"):
+        from distantspeech_tpu.ops.pallas_enhance import fused_enhance, fused_enhance_full
 
         steer_np = np.asarray(steering_vector(geometry, angle_rad, cfg.stft.n_fft), dtype=np.complex64)
+        if backend == "mega":
+            return fused_enhance_full(x, steer_np, cfg, mxu="bf16x3")
         return fused_enhance(x, steer_np, cfg)
     steer = jnp.asarray(steering_vector(geometry, angle_rad, cfg.stft.n_fft))
 

@@ -326,12 +326,12 @@ def _dot3(a, w_hi, w_lo):
 def _mega_kernel(
     sig_ref, halo_ref, cs_ref, ab_ref, ar_ref, ai_ref,  # inputs
     y_ref,  # output: [Tc, 1, 8, hop] overlap-added time-domain chunk
-    Z, Yri, OAc, Rr, Ri, Ur, Ui, S, Smin, Stmp, Pp, Lam, Gh, Gam,  # scratch
+    Zr, Zi, Yor, Yoi, OAc, Rr, Ri, Ur, Ui, S, Smin, Stmp, Pp, Lam, Gh, Gam,  # scratch
     *, Tc: int, M: int, fl: int,
     L: int, alpha_s: float, alpha_p: float, alpha_d: float, delta_s: float,
     p_min: float, p_max: float, b: tuple,
     alpha_v: float, diag: float, rel_diag: float, p_vad: float,
-    alpha_xi: float, gmin: float, mxu: str = "highest",
+    alpha_xi: float, gmin: float, mxu: str = "highest", unroll: int = 1,
 ):
     """The whole flagship pipeline in ONE kernel: framing + windowed DFT +
     MCRA (cross-bin smoothing via lane shifts) + gated MVDR + OM-LSA +
@@ -358,7 +358,9 @@ def _mega_kernel(
         Gh[...] = jnp.ones_like(Gh)
         Gam[...] = jnp.ones_like(Gam)
 
-    # ---- analysis: two half-frame dots per mic (framing never materialised)
+    # ---- analysis: two half-frame dots per mic (framing never materialised).
+    # The real/imag lane-halves split ONCE here in bulk; the frame loop then
+    # reads pure [8, fl] tiles with no per-frame lane slicing.
     for m in range(M):
         a1 = sig_ref[:, m]  # [Tc, 8, hop]
         a2 = jnp.concatenate([a1[1:], halo_ref[:, m]], axis=0)
@@ -370,7 +372,9 @@ def _mega_kernel(
                         precision="highest", preferred_element_type=jnp.float32)
             z = z + jnp.dot(a2.reshape(Tc * _SUB, fl), cs_ref[fl:],
                             precision="highest", preferred_element_type=jnp.float32)
-        Z[m] = z.reshape(Tc, _SUB, 2 * fl)
+        z = z.reshape(Tc, _SUB, 2 * fl)
+        Zr[m] = z[:, :, :fl]
+        Zi[m] = z[:, :, fl:]
 
     ar = [ar_ref[m] for m in range(M)]
     ai = [ai_ref[m] for m in range(M)]
@@ -382,9 +386,8 @@ def _mega_kernel(
 
     def frame(t, _):
         tg = chunk_base + t
-        zfull = [Z[m, t] for m in range(M)]  # [8, 2fl]
-        zr = [v[:, :fl] for v in zfull]
-        zi_raw = [v[:, fl:] for v in zfull]
+        zr = [Zr[m, t] for m in range(M)]  # [8, fl]
+        zi_raw = [Zi[m, t] for m in range(M)]
         # imag-plane lane 0 carries the Nyquist REAL sample (packing);
         # bin 0's true imag part is identically zero.
         zi = [jnp.where(mask0, 0.0, v) for v in zi_raw]
@@ -414,14 +417,16 @@ def _mega_kernel(
         G = jnp.clip(jnp.exp(logG), gmin, 1.0)
         Gh[...] = G_H1
         Gam[...] = gamma
-        # packed inverse layout: [yr bins 0..F-2 | 0 (Nyquist slot) | yi 1..F-2]
-        Yri[t] = jnp.concatenate([yr * G, jnp.where(mask0, 0.0, yi * G)], axis=-1)
+        Yor[t] = yr * G
+        Yoi[t] = jnp.where(mask0, 0.0, yi * G)  # lane 0 = the Nyquist slot, filled outside
         return 0
 
-    jax.lax.fori_loop(0, Tc, frame, 0)
+    jax.lax.fori_loop(0, Tc, frame, 0, unroll=unroll)
 
     # ---- synthesis + overlap-add (50% overlap: y[t] = f[t,:hop]+f[t-1,hop:])
-    yri_flat = Yri[...].reshape(Tc * _SUB, 2 * fl)
+    # packed inverse layout: [yr bins 0..F-2 | 0 (Nyquist slot) | yi 1..F-2],
+    # concatenated ONCE per chunk in bulk
+    yri_flat = jnp.concatenate([Yor[...], Yoi[...]], axis=-1).reshape(Tc * _SUB, 2 * fl)
     if mxu == "bf16x3":
         f = _dot3(yri_flat, ab_ref[0], ab_ref[1])
     else:
@@ -439,6 +444,7 @@ def fused_enhance_full(
     interpret: bool = False,
     t_chunk: int = None,
     mxu: str = "highest",
+    unroll: int = 1,
     _skip_nyquist: bool = False,
 ) -> jnp.ndarray:
     """Mega-fused flagship: the ENTIRE pipeline (STFT analysis included) in
@@ -528,8 +534,10 @@ def fused_enhance_full(
     yspec = pl.BlockSpec((tc, 1, _SUB, hop), lambda n, t: (t, n, 0, 0), memory_space=pltpu.VMEM)
 
     mega_scratch = [
-        pltpu.VMEM((M, tc, _SUB, 2 * fl), jnp.float32),  # Z
-        pltpu.VMEM((tc, _SUB, 2 * fl), jnp.float32),  # Yri
+        pltpu.VMEM((M, tc, _SUB, fl), jnp.float32),  # Zr
+        pltpu.VMEM((M, tc, _SUB, fl), jnp.float32),  # Zi
+        pltpu.VMEM((tc, _SUB, fl), jnp.float32),  # Yor
+        pltpu.VMEM((tc, _SUB, fl), jnp.float32),  # Yoi
         pltpu.VMEM((1, _SUB, fl), jnp.float32),  # OAc
         pltpu.VMEM((M, M, _SUB, fl), jnp.float32),
         pltpu.VMEM((M, M, _SUB, fl), jnp.float32),
@@ -537,14 +545,25 @@ def fused_enhance_full(
         pltpu.VMEM((M, _SUB, fl), jnp.float32),
     ] + [pltpu.VMEM((_SUB, fl), jnp.float32)] * 7
 
+    # batch blocks are independent -> the n grid axis is 'parallel': on
+    # megacore chips Mosaic splits it across the two TensorCores (the t axis
+    # carries VMEM state and must stay sequential)
+    params = None if interpret else pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary")
+    )
+    # Mosaic's fori_loop lowering supports unroll=1 or full unroll only
+    unroll_n = tc if unroll == "full" else int(unroll)
+    if unroll_n not in (1, tc):
+        raise ValueError(f"unroll must be 1 or 'full' (got {unroll!r})")
     y_main = pl.pallas_call(
-        partial(_mega_kernel, b=tuple(float(v) for v in mc.b), mxu=mxu, **kern_kwargs),
+        partial(_mega_kernel, b=tuple(float(v) for v in mc.b), mxu=mxu, unroll=unroll_n, **kern_kwargs),
         grid=(nb, Tp // tc),
         in_specs=[sig_spec, halo_spec, cs_spec, ab_spec, aspec, aspec],
         out_specs=yspec,
         out_shape=jax.ShapeDtypeStruct((Tp, nb, _SUB, hop), jnp.float32),
         scratch_shapes=mega_scratch,
         interpret=interpret,
+        **({} if params is None else {"compiler_params": params}),
     )(blocksT, blocksT, jnp.asarray(CS_in), jnp.asarray(AB_in), jnp.asarray(a_main_r), jnp.asarray(a_main_i))
 
     if _skip_nyquist:  # part-isolation mode for the A/B profiler only

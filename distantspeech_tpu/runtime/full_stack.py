@@ -117,12 +117,15 @@ def full_stack_process(
         raise ValueError("aec.block_len must equal frame_len for the composed stack")
     L = cfg.frame_len
     T = x.shape[-1] // L
-    coeffs = jnp.asarray(time_alignment_filters(geometry, angle_rad), dtype=x.dtype)
+    # keep the host copy for init: converting via jnp under an outer jit
+    # would make coeffs a tracer and break the static shape derivation
+    coeffs_np = np.asarray(time_alignment_filters(geometry, angle_rad))
+    coeffs = jnp.asarray(coeffs_np, dtype=x.dtype)
 
     xb = jnp.moveaxis(x[..., : T * L].reshape(*x.shape[:-1], T, L), -2, 0)  # [T, ..., M, L]
     fb = jnp.moveaxis(far_end[..., : T * L].reshape(*far_end.shape[:-1], T, L), -2, 0)
 
-    state = full_stack_init(cfg, np.asarray(coeffs), batch_shape=x.shape[:-2], dtype=x.dtype)
+    state = full_stack_init(cfg, coeffs_np, batch_shape=x.shape[:-2], dtype=x.dtype)
     _, (out, kws_clean, p) = jax.lax.scan(
         lambda s, blk: full_stack_step(cfg, coeffs, s, blk[0], blk[1]), state, (xb, fb)
     )
