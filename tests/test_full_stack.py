@@ -3,9 +3,60 @@
 import numpy as np
 import jax.numpy as jnp
 
+import refutil
 from distantspeech_tpu.array.geometry import ArrayGeometry
 from distantspeech_tpu.runtime.full_stack import FullStackConfig, full_stack_process
 from distantspeech_tpu.adaptive.aec import AecConfig
+
+
+def test_full_stack_composed_reference_parity():
+    """The whole stack against the REFERENCE classes wired identically:
+    per-mic Aec (aec.py:227) -> DualMicKws tap on mics 0/1
+    (dual_mic_kws.py:111) -> TDGSC with OMLSA postfilter (TDGSC.py:110,
+    omlsa_multi.py:73).  Frame-exact composition, not just energy asserts."""
+    refutil.patch_beamformer_base()
+    ma_mod = refutil.load("DistantSpeech.beamformer.MicArray")
+    aec_mod = refutil.load("DistantSpeech.adaptivefilter.aec")
+    kws_mod = refutil.load("DistantSpeech.kws.dual_mic_kws")
+    tdgsc_mod = refutil.load("DistantSpeech.beamformer.TDGSC")
+
+    M, L, T = 4, 256, 16
+    S = L * T
+    rng = np.random.default_rng(5)
+    far = rng.standard_normal(S) * 0.5
+    h = rng.standard_normal(64) * np.exp(-np.arange(64) / 12)
+    echo = np.convolve(far, h)[:S]
+    x = (0.1 * rng.standard_normal((M, S)) + echo[None, :]).astype(np.float64)
+
+    # ---- reference chain, wired exactly like runtime.full_stack ------------
+    aecs = [
+        aec_mod.Aec(filter_len=512, mu=0.01, num_block=2, prop=True, two_path=True)
+        for _ in range(M)
+    ]
+    echo_free = np.zeros((S, M))
+    for n in range(T):
+        blk = slice(n * L, (n + 1) * L)
+        for m in range(M):
+            out_ref, _ = aecs[m].update(far[blk].copy(), x[m, blk].copy())
+            echo_free[blk, m] = np.squeeze(out_ref)
+
+    mic2 = ma_mod.MicArray(arrayType="linear", r=0.04, M=2)
+    kws_ref = kws_mod.DualMicKws(mic2, frameLen=L)
+    kws_out_ref = kws_ref.process(echo_free[:, :2].T.copy())
+
+    mic = ma_mod.MicArray(arrayType="circular", r=0.032, M=M)
+    tdgsc_ref = tdgsc_mod.TDGSC(mic, frameLen=L)
+    out_ref, p_ref, _ = tdgsc_ref.process(echo_free.copy(), postfilter=True)
+
+    # ---- ours ---------------------------------------------------------------
+    geom = ArrayGeometry.circular(M, 0.032, c=343.0)
+    cfg = FullStackConfig(
+        n_mics=M, frame_len=L, aec=AecConfig(filter_len=512, num_block=2), postfilter=True
+    )
+    out, kws_clean, p = full_stack_process(jnp.asarray(x), jnp.asarray(far), geom, cfg=cfg)
+    np.testing.assert_allclose(np.asarray(out), out_ref, rtol=1e-6, atol=2e-7)
+    np.testing.assert_allclose(np.asarray(kws_clean), kws_out_ref, rtol=1e-6, atol=2e-7)
+    np.testing.assert_allclose(np.asarray(p).swapaxes(-1, -2), p_ref, atol=1e-7)
 
 
 def test_full_stack_runs_and_cancels_echo():

@@ -50,6 +50,49 @@ def test_enhance_pipeline_improves_sisdr(scene):
     assert best_out > best_in + 1.0, (best_in, best_out)
 
 
+def test_enhance_high_rt60_improves_sisdr():
+    """Stress scene: 8th-order ISM with 0.3 energy absorption (Sabine RT60
+    ~0.31 s for the 5x3x3 room — the reference's ArraySim hybrid ray-traced
+    scenes live in this regime, ArraySim.py:166-238).  The flagship must
+    still enhance, not just at the easy max_order=1 fixture."""
+    from distantspeech_tpu.stats import best_aligned_si_sdr
+
+    geom = ArrayGeometry.linear(4, 0.05)
+    src = _speechlike(16000 * 2)
+    rng = np.random.default_rng(7)
+    mix = generate_scene(
+        src, geom.mic_loc, interference=rng.standard_normal(len(src)),
+        source_angle=90.0, interf_angle=20.0, snr=15.0, sir=5.0,
+        cfg=RoomConfig(max_order=8, energy_absorption=0.3), seed=3,
+    ).astype(np.float32)
+    y = np.asarray(enhance_process(jnp.asarray(mix), geom, (90.0, 0.0)))
+    best_in = best_aligned_si_sdr(mix[0], src)
+    best_out = best_aligned_si_sdr(y, src)
+    assert best_out > best_in + 2.0, (best_in, best_out)  # measured +3.1 dB
+
+
+def test_gsc_strong_interference_improves_sisdr():
+    """SIR 0 dB directional interferer at 30 deg off target: the GSC's
+    blocking-matrix/AIC path must cancel it (measured +4.6 dB SI-SDR)."""
+    from distantspeech_tpu.beamform import GscConfig, gsc_process
+    from distantspeech_tpu.stats import best_aligned_si_sdr
+
+    geom = ArrayGeometry.circular(4, 0.05)
+    src = _speechlike(16000 * 2)
+    mix = generate_scene(
+        src, geom.mic_loc, interference=np.random.default_rng(7).standard_normal(len(src)),
+        source_angle=90.0, interf_angle=30.0, snr=25.0, sir=0.0,
+        cfg=RoomConfig(max_order=4, energy_absorption=0.5), seed=4,
+    ).astype(np.float32)
+    y = np.asarray(gsc_process(
+        jnp.asarray(mix), geom, (np.pi / 2, 0.0),
+        GscConfig(n_mics=4, normalize_aic=True, spp_rel_diag=1e-5),
+    ))
+    best_in = best_aligned_si_sdr(mix[0], src)
+    best_out = best_aligned_si_sdr(y, src)
+    assert best_out > best_in + 3.0, (best_in, best_out)
+
+
 def test_srp_finds_source_direction():
     geom = ArrayGeometry.circular(4, 0.05)
     src = _speechlike(16000, seed=5, lead=0)
