@@ -114,3 +114,56 @@ def test_batched_propagation_matches_host():
         want = simulate_propagation(sig[b], srcs[b], mics, cfg)
         scale = np.max(np.abs(want))
         np.testing.assert_allclose(got[b], want, atol=5e-4 * scale, err_msg=f"src {b}")
+
+
+def test_hybrid_rir_matches_sabine_rt60():
+    """The diffuse-tail hybrid (the ArraySim ISM+ray-tracing analogue,
+    ArraySim.py:166-238) must decay at the configured Sabine RT60: Schroeder
+    backward integration of the -5..-35 dB range within 20%."""
+    from distantspeech_tpu.array.geometry import ArrayGeometry
+    from distantspeech_tpu.sim import RoomConfig, hybrid_rir, sabine_rt60
+
+    cfg = RoomConfig(max_order=3, energy_absorption=0.3)
+    geom = ArrayGeometry.linear(4, 0.05)
+    center = np.array([2.5, 1.5, 0.5])
+    rir = hybrid_rir(center + np.array([1.0, 0.5, 0.0]), geom.mic_loc + center, cfg, seed=0)
+
+    t60 = sabine_rt60(cfg)
+    for m in range(rir.shape[0]):
+        e = rir[m] ** 2
+        sch = 10 * np.log10(np.maximum(np.cumsum(e[::-1])[::-1] / e.sum(), 1e-30))
+        i5, i35 = np.argmax(sch <= -5.0), np.argmax(sch <= -35.0)
+        slope = (sch[i35] - sch[i5]) / (i35 - i5)
+        rt60_est = -60.0 / slope / cfg.fs
+        assert abs(rt60_est - t60) < 0.2 * t60, (m, rt60_est, t60)
+
+
+def test_hybrid_scene_still_enhances():
+    """End-to-end: the flagship still improves SI-SDR on a hybrid
+    (ISM + diffuse-tail) scene — the hard-fixture regime of VERDICT r2."""
+    import jax.numpy as jnp
+
+    from distantspeech_tpu.array.geometry import ArrayGeometry
+    from distantspeech_tpu.beamform.enhance import enhance_process
+    from distantspeech_tpu.sim import RoomConfig, generate_scene
+    from distantspeech_tpu.stats import best_aligned_si_sdr
+
+    fs, S = 16000, 16000 * 2
+    rng = np.random.default_rng(9)
+    t = np.arange(S) / fs
+    env = (np.sin(2 * np.pi * 0.6 * t + 0.7) > -0.2).astype(float)
+    env[:12000] = 0.0
+    k = np.hanning(9)
+    src = np.convolve(rng.standard_normal(S), k / k.sum(), "same") * env
+
+    geom = ArrayGeometry.linear(4, 0.05)
+    mix = generate_scene(
+        src, geom.mic_loc, interference=rng.standard_normal(S),
+        source_angle=90.0, interf_angle=20.0, snr=15.0, sir=5.0,
+        cfg=RoomConfig(max_order=3, energy_absorption=0.3), seed=3,
+        diffuse_tail=True,
+    ).astype(np.float32)
+    y = np.asarray(enhance_process(jnp.asarray(mix), geom, (90.0, 0.0)))
+    best_in = best_aligned_si_sdr(mix[0], src)
+    best_out = best_aligned_si_sdr(y, src)
+    assert best_out > best_in + 1.0, (best_in, best_out)
