@@ -22,6 +22,8 @@ def main():
     ap.add_argument("--cpu", action="store_true", help="force CPU (semantics only)")
     ap.add_argument("--parts", action="store_true",
                     help="profile mode: time mega_bf16x3 sub-configurations instead")
+    ap.add_argument("--batch-sweep", action="store_true",
+                    help="time mega_bf16x3 at B=32/64/128 (per-chip throughput vs batch)")
     ap.add_argument("--fast-gate", action="store_true",
                     help="gate variants against fused_enhance instead of the scan "
                          "reference (whose B=2 compile takes ~7 min on axon); fused "
@@ -78,13 +80,22 @@ def main():
     }
     if args.parts:
         variants = {
-            "mega_bf16x3": variants["mega_bf16x3"],  # now with parallel dimension_semantics
+            "mega_bf16x3": variants["mega_bf16x3"],
+            "b3_sub16": jax.jit(lambda x: fused_enhance_full(x, steer, cfg, mxu="bf16x3", sub=16)),
+            "b3_sub32": jax.jit(lambda x: fused_enhance_full(x, steer, cfg, mxu="bf16x3", sub=32)),
             "b3_no_nyq": jax.jit(lambda x: fused_enhance_full(x, steer, cfg, mxu="bf16x3", _skip_nyquist=True)),
-            "b3_full_unroll": jax.jit(lambda x: fused_enhance_full(x, steer, cfg, mxu="bf16x3", unroll="full")),
         }
+    batch_sizes = {name: batch for name in variants}
+    if args.batch_sweep:
+        variants = {
+            "b3_B32": jax.jit(lambda x: fused_enhance_full(x, steer, cfg, mxu="bf16x3")),
+            "b3_B64": jax.jit(lambda x: fused_enhance_full(x, steer, cfg, mxu="bf16x3")),
+            "b3_B128": jax.jit(lambda x: fused_enhance_full(x, steer, cfg, mxu="bf16x3")),
+        }
+        batch_sizes = {"b3_B32": 32, "b3_B64": 64, "b3_B128": 128}
 
     # ---- parity gates (compile at gate shape first; fail fast) -------------
-    if args.parts:
+    if args.parts or args.batch_sweep:
         gate_names = []  # parts intentionally diverge (e.g. no Nyquist bin)
         y_ref = None
     elif args.fast_gate:
@@ -106,11 +117,14 @@ def main():
     # variant 2.7 vs 7.6 ms/iter in back-to-back runs), so variants are
     # INTERLEAVED: each round measures one slope per variant, and the
     # reported number is the per-variant median (and min) across rounds.
-    x = jnp.asarray(rng.standard_normal((batch, n_mics, S)).astype(np.float32))
-    audio_seconds = batch * seconds_per_utt
+    xs = {
+        name: jnp.asarray(rng.standard_normal((batch_sizes[name], n_mics, S)).astype(np.float32))
+        for name in variants
+    }
+    audio_s = {name: batch_sizes[name] * seconds_per_utt for name in variants}
     rounds = 2 if args.quick else 4
 
-    def make_timed(fn):
+    def make_timed(fn, x):
         def timed(iters):
             t0 = time.perf_counter()
             xi = x
@@ -122,7 +136,7 @@ def main():
             return time.perf_counter() - t0
         return timed
 
-    timers = {name: make_timed(fn) for name, fn in variants.items()}
+    timers = {name: make_timed(fn, xs[name]) for name, fn in variants.items()}
     for t in timers.values():  # compile + transfer-path warmup
         t(1)
         t(1)
@@ -140,13 +154,14 @@ def main():
     results = {}
     for name, ss in slopes.items():
         med, best = float(np.median(ss)), float(np.min(ss))
-        if not (np.isfinite(med) and med > audio_seconds / 1e6):
+        if not (np.isfinite(med) and med > audio_s[name] / 1e6):
             raise RuntimeError(f"implausible slope for {name}: {ss}")
         results[name] = {
+            "batch": batch_sizes[name],
             "ms_per_iter_median": round(med * 1e3, 3),
             "ms_per_iter_min": round(best * 1e3, 3),
-            "audio_s_per_s_median": round(audio_seconds / med, 1),
-            "audio_s_per_s_best": round(audio_seconds / best, 1),
+            "audio_s_per_s_median": round(audio_s[name] / med, 1),
+            "audio_s_per_s_best": round(audio_s[name] / best, 1),
         }
         print(f"[{name}] {results[name]}", file=sys.stderr)
 

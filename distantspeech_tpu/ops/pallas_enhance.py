@@ -332,6 +332,7 @@ def _mega_kernel(
     p_min: float, p_max: float, b: tuple,
     alpha_v: float, diag: float, rel_diag: float, p_vad: float,
     alpha_xi: float, gmin: float, mxu: str = "highest", unroll: int = 1,
+    sub: int = _SUB,
 ):
     """The whole flagship pipeline in ONE kernel: framing + windowed DFT +
     MCRA (cross-bin smoothing via lane shifts) + gated MVDR + OM-LSA +
@@ -360,25 +361,25 @@ def _mega_kernel(
 
     # ---- analysis: two half-frame dots per mic (framing never materialised).
     # The real/imag lane-halves split ONCE here in bulk; the frame loop then
-    # reads pure [8, fl] tiles with no per-frame lane slicing.
+    # reads pure [sub, fl] tiles with no per-frame lane slicing.
     for m in range(M):
-        a1 = sig_ref[:, m]  # [Tc, 8, hop]
+        a1 = sig_ref[:, m]  # [Tc, sub, hop]
         a2 = jnp.concatenate([a1[1:], halo_ref[:, m]], axis=0)
         if mxu == "bf16x3":
-            a12 = jnp.concatenate([a1, a2], axis=-1).reshape(Tc * _SUB, 2 * fl)
+            a12 = jnp.concatenate([a1, a2], axis=-1).reshape(Tc * sub, 2 * fl)
             z = _dot3(a12, cs_ref[0], cs_ref[1])
         else:
-            z = jnp.dot(a1.reshape(Tc * _SUB, fl), cs_ref[:fl],
+            z = jnp.dot(a1.reshape(Tc * sub, fl), cs_ref[:fl],
                         precision="highest", preferred_element_type=jnp.float32)
-            z = z + jnp.dot(a2.reshape(Tc * _SUB, fl), cs_ref[fl:],
+            z = z + jnp.dot(a2.reshape(Tc * sub, fl), cs_ref[fl:],
                             precision="highest", preferred_element_type=jnp.float32)
-        z = z.reshape(Tc, _SUB, 2 * fl)
+        z = z.reshape(Tc, sub, 2 * fl)
         Zr[m] = z[:, :, :fl]
         Zi[m] = z[:, :, fl:]
 
     ar = [ar_ref[m] for m in range(M)]
     ai = [ai_ref[m] for m in range(M)]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (_SUB, fl), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (sub, fl), 1)
     interior = lane >= 1
     mask0 = lane == 0
     log_gmin = float(np.log(gmin))
@@ -426,12 +427,12 @@ def _mega_kernel(
     # ---- synthesis + overlap-add (50% overlap: y[t] = f[t,:hop]+f[t-1,hop:])
     # packed inverse layout: [yr bins 0..F-2 | 0 (Nyquist slot) | yi 1..F-2],
     # concatenated ONCE per chunk in bulk
-    yri_flat = jnp.concatenate([Yor[...], Yoi[...]], axis=-1).reshape(Tc * _SUB, 2 * fl)
+    yri_flat = jnp.concatenate([Yor[...], Yoi[...]], axis=-1).reshape(Tc * sub, 2 * fl)
     if mxu == "bf16x3":
         f = _dot3(yri_flat, ab_ref[0], ab_ref[1])
     else:
         f = jnp.dot(yri_flat, ab_ref[...], precision="highest", preferred_element_type=jnp.float32)
-    f = f.reshape(Tc, _SUB, 2 * fl)
+    f = f.reshape(Tc, sub, 2 * fl)
     prev = jnp.concatenate([OAc[...], f[:-1, :, fl:]], axis=0)
     y_ref[:, 0] = f[:, :, :fl] + prev
     OAc[...] = f[-1:, :, fl:]
@@ -445,6 +446,7 @@ def fused_enhance_full(
     t_chunk: int = None,
     mxu: str = "highest",
     unroll: int = 1,
+    sub: int = _SUB,
     _skip_nyquist: bool = False,
 ) -> jnp.ndarray:
     """Mega-fused flagship: the ENTIRE pipeline (STFT analysis included) in
@@ -467,21 +469,23 @@ def fused_enhance_full(
         raise ValueError(f"fused_enhance_full needs n_fft a multiple of 256, got {stft.n_fft}")
     if stft.n_fft != 2 * stft.hop:
         raise ValueError("fused_enhance_full needs 50% overlap (n_fft == 2*hop)")
-    if x.ndim != 3 or x.shape[0] % _SUB:
-        raise ValueError(f"fused_enhance_full needs x of shape [B, M, S] with B % 8 == 0, got {x.shape}")
+    if sub % _SUB:
+        raise ValueError(f"sub must be a multiple of 8, got {sub}")
+    if x.ndim != 3 or x.shape[0] % sub:
+        raise ValueError(f"fused_enhance_full needs x of shape [B, M, S] with B % {sub} == 0, got {x.shape}")
     if x.shape[-1] % stft.hop:
         x = x[..., : x.shape[-1] // stft.hop * stft.hop]
     B, M, S = x.shape
     hop = stft.hop
     T = S // hop
-    nb = B // _SUB
+    nb = B // sub
     mv = cfg.mvdr
     mc = mv.mcra
     steer = np.asarray(steer)
 
-    # VMEM-bounded frame chunk: the Z scratch is [M, Tc, 8, 2fl] f32 and the
-    # double-buffered signal block [Tc, M, 8, hop] x2 — cap their sum ~8 MB.
-    cap = max(8, min(64, (8 << 20) // (M * _SUB * 2 * fl * 4 * 2)))
+    # VMEM-bounded frame chunk: the Z scratch is [M, Tc, sub, 2fl] f32 and
+    # the double-buffered signal block [Tc, M, sub, hop] x2 — cap ~8 MB.
+    cap = max(8, min(64, (8 << 20) // (M * sub * 2 * fl * 4 * 2)))
     tc = t_chunk or _pick_t_chunk(T, cap) or cap
     Tp = -(-T // tc) * tc
 
@@ -513,8 +517,8 @@ def fused_enhance_full(
     else:
         CS_in, AB_in = CS, AB
 
-    a_main_r = np.broadcast_to(np.real(steer[:fl]).T[:, None, :], (M, _SUB, fl)).astype(np.float32)
-    a_main_i = np.broadcast_to(np.imag(steer[:fl]).T[:, None, :], (M, _SUB, fl)).astype(np.float32)
+    a_main_r = np.broadcast_to(np.real(steer[:fl]).T[:, None, :], (M, sub, fl)).astype(np.float32)
+    a_main_i = np.broadcast_to(np.imag(steer[:fl]).T[:, None, :], (M, sub, fl)).astype(np.float32)
     a_nyq_r = np.broadcast_to(np.real(steer[fl])[:, None, None], (M, _SUB, fl)).astype(np.float32)
     a_nyq_i = np.broadcast_to(np.imag(steer[fl])[:, None, None], (M, _SUB, fl)).astype(np.float32)
 
@@ -526,24 +530,24 @@ def fused_enhance_full(
         alpha_xi=cfg.alpha_xi, gmin=cfg.gmin,
     )
 
-    sig_spec = pl.BlockSpec((tc, M, _SUB, hop), lambda n, t: (t, 0, n, 0), memory_space=pltpu.VMEM)
-    halo_spec = pl.BlockSpec((1, M, _SUB, hop), lambda n, t: (t * tc + tc, 0, n, 0), memory_space=pltpu.VMEM)
+    sig_spec = pl.BlockSpec((tc, M, sub, hop), lambda n, t: (t, 0, n, 0), memory_space=pltpu.VMEM)
+    halo_spec = pl.BlockSpec((1, M, sub, hop), lambda n, t: (t * tc + tc, 0, n, 0), memory_space=pltpu.VMEM)
     cs_spec = pl.BlockSpec(CS_in.shape, lambda n, t: (0,) * CS_in.ndim, memory_space=pltpu.VMEM)
     ab_spec = pl.BlockSpec(AB_in.shape, lambda n, t: (0,) * AB_in.ndim, memory_space=pltpu.VMEM)
-    aspec = pl.BlockSpec((M, _SUB, fl), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM)
-    yspec = pl.BlockSpec((tc, 1, _SUB, hop), lambda n, t: (t, n, 0, 0), memory_space=pltpu.VMEM)
+    aspec = pl.BlockSpec((M, sub, fl), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM)
+    yspec = pl.BlockSpec((tc, 1, sub, hop), lambda n, t: (t, n, 0, 0), memory_space=pltpu.VMEM)
 
     mega_scratch = [
-        pltpu.VMEM((M, tc, _SUB, fl), jnp.float32),  # Zr
-        pltpu.VMEM((M, tc, _SUB, fl), jnp.float32),  # Zi
-        pltpu.VMEM((tc, _SUB, fl), jnp.float32),  # Yor
-        pltpu.VMEM((tc, _SUB, fl), jnp.float32),  # Yoi
-        pltpu.VMEM((1, _SUB, fl), jnp.float32),  # OAc
-        pltpu.VMEM((M, M, _SUB, fl), jnp.float32),
-        pltpu.VMEM((M, M, _SUB, fl), jnp.float32),
-        pltpu.VMEM((M, _SUB, fl), jnp.float32),
-        pltpu.VMEM((M, _SUB, fl), jnp.float32),
-    ] + [pltpu.VMEM((_SUB, fl), jnp.float32)] * 7
+        pltpu.VMEM((M, tc, sub, fl), jnp.float32),  # Zr
+        pltpu.VMEM((M, tc, sub, fl), jnp.float32),  # Zi
+        pltpu.VMEM((tc, sub, fl), jnp.float32),  # Yor
+        pltpu.VMEM((tc, sub, fl), jnp.float32),  # Yoi
+        pltpu.VMEM((1, sub, fl), jnp.float32),  # OAc
+        pltpu.VMEM((M, M, sub, fl), jnp.float32),
+        pltpu.VMEM((M, M, sub, fl), jnp.float32),
+        pltpu.VMEM((M, sub, fl), jnp.float32),
+        pltpu.VMEM((M, sub, fl), jnp.float32),
+    ] + [pltpu.VMEM((sub, fl), jnp.float32)] * 7
 
     # batch blocks are independent -> the n grid axis is 'parallel': on
     # megacore chips Mosaic splits it across the two TensorCores (the t axis
@@ -556,11 +560,11 @@ def fused_enhance_full(
     if unroll_n not in (1, tc):
         raise ValueError(f"unroll must be 1 or 'full' (got {unroll!r})")
     y_main = pl.pallas_call(
-        partial(_mega_kernel, b=tuple(float(v) for v in mc.b), mxu=mxu, unroll=unroll_n, **kern_kwargs),
+        partial(_mega_kernel, b=tuple(float(v) for v in mc.b), mxu=mxu, unroll=unroll_n, sub=sub, **kern_kwargs),
         grid=(nb, Tp // tc),
         in_specs=[sig_spec, halo_spec, cs_spec, ab_spec, aspec, aspec],
         out_specs=yspec,
-        out_shape=jax.ShapeDtypeStruct((Tp, nb, _SUB, hop), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Tp, nb, sub, hop), jnp.float32),
         scratch_shapes=mega_scratch,
         interpret=interpret,
         **({} if params is None else {"compiler_params": params}),
@@ -574,10 +578,11 @@ def fused_enhance_full(
     w_nyq = CS[:, fl]
     zn = jnp.einsum("tmbl,l->tmb", blocksT[:-1], jnp.asarray(w_nyq[:hop]), precision="highest")
     zn = zn + jnp.einsum("tmbl,l->tmb", blocksT[1:], jnp.asarray(w_nyq[hop:]), precision="highest")
-    ynr = _run_nyquist(zn[..., None], a_nyq_r, a_nyq_i, kern_kwargs, tc, Tp, nb, fl, M, interpret)
+    nb8 = B // _SUB  # the Nyquist companion always packs 8 sublanes
+    ynr = _run_nyquist(zn[..., None], a_nyq_r, a_nyq_i, kern_kwargs, tc, Tp, nb8, fl, M, interpret)
 
     # its inverse-DFT row contribution, overlap-added inline
-    ynr = jnp.moveaxis(ynr[:T, 0, :, :nb], 2, 1).reshape(T, B)  # [T, B]
+    ynr = jnp.moveaxis(ynr[:T, 0, :, :nb8], 2, 1).reshape(T, B)  # [T, B]
     fn = ynr[:, :, None] * jnp.asarray(AB[fl])[None, None, :]  # [T, B, n_fft]
     contrib = fn[:, :, :hop] + jnp.concatenate(
         [jnp.zeros_like(fn[:1, :, hop:]), fn[:-1, :, hop:]], axis=0
