@@ -1,4 +1,15 @@
-"""Fully-fused flagship fast path: STFT -> MCRA -> MVDR -> OM-LSA -> ISTFT.
+"""Fully-fused flagship fast paths: STFT -> MCRA -> MVDR -> OM-LSA -> ISTFT.
+
+Two generations live here:
+
+- ``fused_enhance`` (round 2): XLA windowed-DFT matmuls + two Pallas calls
+  (main bins + Nyquist companion) with in-kernel MCRA;
+- ``fused_enhance_full`` (round 3, the bench default): the ENTIRE pipeline
+  in ONE Pallas call — framing via a 1-block BlockSpec halo, analysis DFT
+  dots (optionally 3-pass bf16 against hi/lo-split constants), in-lane MCRA
+  cross-bin smoothing, gated MVDR, OM-LSA, inverse DFT and overlap-add —
+  plus the same tiny Nyquist companion.  The signal is read from HBM once
+  and the spectra never exist in HBM.
 
 Same math as ``beamform.enhance.enhance_scan`` (oracle:
 /root/reference/DistantSpeech/beamformer/adaptivebeamformer.py:44-128 +
