@@ -90,6 +90,21 @@ def test_fused_enhance_full_matches_scan(rel_diag):
     np.testing.assert_allclose(got, want, atol=2e-3 * scale, rtol=2e-3)
 
 
+def test_fused_enhance_full_sub16_identical():
+    """The sublane-tile width (batch rows per vreg op) must not change the
+    numbers at all — same ops, different packing."""
+    B, M, S = 16, 2, 128 * 24
+    cfg = EnhanceConfig(mvdr=MvdrConfig(mcra_L=15))
+    geom = ArrayGeometry.linear(M, 0.032)
+    x = jnp.asarray(_scene(B, M, S, seed=4))
+    steer = np.asarray(
+        steering_vector(geom, np.array([np.pi / 2, 0.0]), cfg.stft.n_fft), dtype=np.complex64
+    )
+    a = np.asarray(fused_enhance_full(x, steer, cfg, interpret=True))
+    b = np.asarray(fused_enhance_full(x, steer, cfg, interpret=True, sub=16))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_fused_enhance_full_vs_fused():
     """Direct parity between the two fused implementations (VERDICT r2 #5):
     the benched kernel and the partially-fused one can't silently diverge."""
