@@ -181,7 +181,12 @@ def main():
             except Exception:
                 pass
         artifact["platform"] = jax.devices()[0].platform
-        artifact.setdefault("pipelines", {}).update(entries)
+        dest = artifact.setdefault("pipelines", {})
+        for name, e in entries.items():
+            # a transient env failure must not clobber a good measurement
+            if "error" in e and "audio_s_per_s" in dest.get(name, {}):
+                continue
+            dest[name] = e
         with open(args.out, "w") as f:
             json.dump(artifact, f, indent=1)
 
