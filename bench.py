@@ -45,7 +45,7 @@ def main():
 
     fs = 16000
     n_mics = 8
-    batch = 32
+    batch = 64  # B=64 x sub=32 measured best-and-stable (docs/performance.md r3 sweep)
     seconds_per_utt = 4.0
     S = int(fs * seconds_per_utt) // 128 * 128
 
@@ -71,7 +71,7 @@ def main():
 
     @jax.jit
     def fused_gate(x2):
-        y = fused_enhance_full(jnp.tile(x2, (4, 1, 1)), steer, cfg, mxu="bf16x3")
+        y = fused_enhance_full(jnp.tile(x2, (16, 1, 1)), steer, cfg, mxu="bf16x3", sub=32)
         return y[:2]
 
     @jax.jit
@@ -92,8 +92,9 @@ def main():
         # mega-fused fast path: framing, windowed DFT, MCRA, MVDR, OM-LSA,
         # inverse DFT and overlap-add in ONE Pallas call (+ the tiny Nyquist
         # companion), analysis/synthesis dots in 3-pass bf16 (~1e-5 rel —
-        # the parity gate above bounds the end-to-end error at 1e-3)
-        return fused_enhance_full(x, steer, cfg, mxu="bf16x3")
+        # the parity gate above bounds the end-to-end error at 1e-3);
+        # 32 batch rows per vreg tile (4 vregs/op amortise instruction issue)
+        return fused_enhance_full(x, steer, cfg, mxu="bf16x3", sub=32)
 
     x = jnp.asarray(rng.standard_normal((batch, n_mics, S)).astype(np.float32))
 
