@@ -20,6 +20,8 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from distantspeech_tpu.stats.linalg import matvec, vecmat
+
 
 def awgn(x, snr: float, seed: int = 7):
     """Add white Gaussian noise at a given SNR in dB (reference ``awgn``,
@@ -51,9 +53,10 @@ def nlms_step(
 ) -> Tuple[NlmsState, jnp.ndarray]:
     """One sample of (N)LMS.  x_n, d_n: [...] scalars per batch element."""
     buf = jnp.concatenate([x_n[..., None], state.buf[..., :-1]], axis=-1)
-    err = d_n - jnp.einsum("...l,...l->...", state.w, buf)
+    # multiply-reduce over the tap axis (see stats.linalg.matvec)
+    err = d_n - jnp.sum(state.w * buf, axis=-1)
     if normalize:
-        grad = buf * err[..., None] / (jnp.einsum("...l,...l->...", buf, buf) + eps)[..., None]
+        grad = buf * err[..., None] / (jnp.sum(buf * buf, axis=-1) + eps)[..., None]
     else:
         grad = buf * err[..., None]
     w = state.w + 2.0 * p * mu * grad
@@ -103,11 +106,11 @@ def block_lms_step(
     B = state.e.shape[-1]
     buf = jnp.concatenate([x_n[..., None], state.buf[..., :-1]], axis=-1)
     X = jnp.concatenate([buf[..., None, :], state.X[..., :-1, :]], axis=-2)
-    en = d_n - jnp.einsum("...l,...l->...", state.w, buf)
+    en = d_n - jnp.sum(state.w * buf, axis=-1)
     e = jnp.concatenate([en[..., None], state.e[..., :-1]], axis=-1)
 
     norm = jnp.sum(X**2, axis=-1) + alpha  # [..., B]
-    grad = jnp.einsum("...bl,...b->...l", X, e / norm)
+    grad = jnp.sum(X * (e / norm)[..., :, None], axis=-2)
     do_update = (state.counter % B) == 0
     w = jnp.where(do_update, state.w + 2.0 * mu * grad, state.w)
     counter = jnp.where(do_update, jnp.asarray(0, jnp.int32), state.counter) + 1
@@ -132,10 +135,10 @@ def rls_step(
     """One RLS sample (RLS.py:26-45; note the reference scales the gradient
     by 2*mu through update_coef, so mu=0.5 gives the textbook recursion)."""
     buf = jnp.concatenate([x_n[..., None], state.buf[..., :-1]], axis=-1)
-    err = d_n - jnp.einsum("...l,...l->...", state.w, buf)
-    num = jnp.einsum("...ij,...j->...i", state.P, buf)  # P u
-    kn = num / (lam + jnp.einsum("...l,...l->...", buf, num))[..., None]
-    row = jnp.einsum("...i,...ij->...j", buf, state.P)  # u^T P (no symmetry assumption)
+    err = d_n - jnp.sum(state.w * buf, axis=-1)
+    num = matvec(state.P, buf)  # P u
+    kn = num / (lam + jnp.sum(buf * num, axis=-1))[..., None]
+    row = vecmat(buf, state.P)  # u^T P (no symmetry assumption)
     P = (state.P - kn[..., :, None] * row[..., None, :]) / lam
     w = state.w + 2.0 * mu * err[..., None] * kn
     return RlsState(w=w, buf=buf, P=P), err

@@ -5,8 +5,9 @@ SubbandLMS.py:28-88), SubbandLmsMc.update (SubbandLmsMc.py:144-191),
 SubbandRLS.update (SubbandRLS.py:44-95).  All operate on one frame of
 subband coefficients at a time with a per-bin tap delay line; every per-bin
 quantity batches over ``[..., F]`` so a frame is one fused tensor op, and
-the ``[..., F, N, N]`` RLS inverse-correlation recursion is a batched
-matmul on the MXU.
+the ``[..., F, N, N]`` RLS inverse-correlation recursion runs as
+multiply-reduce on the VPU (tiny batched contractions lower to per-bin
+MXU dispatches otherwise — see stats.linalg.matvec).
 
 Frequency-domain inputs only: the reference's optional time-domain entry
 (SubbandAF.update_input_data, SubbandAF.py:53-64) is a convenience wrapper
@@ -20,6 +21,8 @@ import dataclasses
 from typing import NamedTuple, Optional, Tuple
 
 import jax.numpy as jnp
+
+from distantspeech_tpu.stats.linalg import matvec, vecmat
 
 
 @dataclasses.dataclass(frozen=True)
@@ -62,7 +65,8 @@ def subband_lms_step(
     Returns (new_state, err [..., F]).
     """
     buf = jnp.concatenate([x[..., None], state.buf[..., :-1]], axis=-1)
-    y = jnp.einsum("...fn,...fn->...f", jnp.conj(state.W), buf)
+    # multiply-reduce over the tiny tap axis (see stats.linalg.matvec)
+    y = jnp.sum(jnp.conj(state.W) * buf, axis=-1)
     pv = jnp.ones_like(d.real) if p is None else p
     err = d - y * pv
 
@@ -86,14 +90,14 @@ def subband_lms_mc_step(
     (SubbandLmsMc.py:175-181).  Returns (new_state, err [..., F]).
     """
     buf = jnp.concatenate([x[..., None, :], state.buf[..., :-1, :]], axis=-2)  # [..., F, N, C]
-    y = jnp.einsum("...fnc,...fnc->...f", jnp.conj(state.W), buf)
+    y = jnp.sum(jnp.conj(state.W) * buf, axis=(-2, -1))
     pv = jnp.ones_like(d.real) if p is None else p
     err = d - y * pv
 
     if cfg.normalize:
-        P = cfg.alpha * state.P + (1.0 - cfg.alpha) * jnp.einsum(
-            "...fnc,...fnc->...f", jnp.conj(buf), buf
-        ).real / cfg.n_channels
+        P = cfg.alpha * state.P + (1.0 - cfg.alpha) * jnp.sum(
+            jnp.real(jnp.conj(buf) * buf), axis=(-2, -1)
+        ) / cfg.n_channels
         grad = buf * jnp.conj(err)[..., None, None] / (P + eps)[..., None, None]
     else:
         P = state.P
@@ -125,14 +129,14 @@ def subband_rls_step(
     """
     lam = cfg.forgetting_factor
     buf = jnp.concatenate([x[..., None], state.buf[..., :-1]], axis=-1)
-    y = jnp.einsum("...fn,...fn->...f", jnp.conj(state.W), buf)
+    y = jnp.sum(jnp.conj(state.W) * buf, axis=-1)
     err = d - y
 
-    num = jnp.einsum("...fij,...fj->...fi", state.P, buf)  # P u
-    den = lam + jnp.einsum("...fn,...fn->...f", jnp.conj(buf), num)
+    num = matvec(state.P, buf)  # P u
+    den = lam + jnp.sum(jnp.conj(buf) * num, axis=-1)
     kn = num / den[..., None]
     # P <- (P - kn u^H P) / lam   (SubbandRLS.py:63)
-    uhP = jnp.einsum("...fi,...fij->...fj", jnp.conj(buf), state.P)
+    uhP = vecmat(jnp.conj(buf), state.P)
     P = (state.P - kn[..., :, None] * uhP[..., None, :]) / lam
 
     W = state.W + 2.0 * mu * jnp.conj(err)[..., None] * kn

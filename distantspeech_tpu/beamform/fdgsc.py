@@ -158,11 +158,13 @@ def fdgsc_step(
 
 def fdgsc_process(
     x: jnp.ndarray, geometry: ArrayGeometry, angle_rad=(197.0 / 180.0 * np.pi, 0.0),
-    cfg: FdGscConfig = FdGscConfig(), dc_notch_input: bool = True,
+    cfg: FdGscConfig = FdGscConfig(), dc_notch_input: bool = True, unroll: int = 1,
 ):
     """Offline FDGSC.  x: [..., M, S].
 
-    Returns (output [..., S], p [..., T, F], bm_output [..., M, S'])."""
+    Returns (output [..., S], p [..., T, F], bm_output [..., M, S']).
+
+    ``unroll``: frame-scan lowering hint, numerically inert (see gsc.py)."""
     L = cfg.frame_len
     if dc_notch_input:
         _, x = dc_notch(dc_notch_init(x.shape[:-1], dtype=x.dtype), x, radius=0.98)
@@ -175,7 +177,8 @@ def fdgsc_process(
 
     state = fdgsc_init(cfg, batch_shape=x.shape[:-2], dtype=x.dtype)
     _, (out, p, bm_out) = jax.lax.scan(
-        lambda s, blocks: fdgsc_step(cfg, s, blocks[0], blocks[1]), state, (xb, ab)
+        lambda s, blocks: fdgsc_step(cfg, s, blocks[0], blocks[1]), state, (xb, ab),
+        unroll=unroll,
     )
     out = jnp.moveaxis(out, 0, -2).reshape(*x.shape[:-2], T * L)
     bm_full = jnp.moveaxis(bm_out, 0, -2)  # [..., M, T, L]

@@ -92,11 +92,13 @@ def gsc_step(
     spp_state, spp_out = mc_mcra_step(cfg.mc_mcra, state.spp, Z)
 
     W = a / jnp.sum(jnp.abs(a) ** 2, axis=-1, keepdims=True)  # a/(a^H a)
-    Yfbf = jnp.einsum("fm,...fm->...f", jnp.conj(W), Z)
+    # multiply-reduce instead of einsum: keeps the tiny-M contraction on the
+    # VPU (see the mc_mcra_step note on batched small dot_generals)
+    Yfbf = jnp.sum(jnp.conj(W) * Z, axis=-1)
     # blocking matrix: U_i = a_0* Z_0 - a_{i+1}* Z_{i+1} (GSC.py:217-222, :262)
     U = jnp.conj(a[:, :1]) * Z[..., :1] - jnp.conj(a[:, 1:]) * Z[..., 1:]  # [..., F, M-1]
 
-    Y = Yfbf - jnp.einsum("...fi,...fi->...f", jnp.conj(state.G), U)
+    Y = Yfbf - jnp.sum(jnp.conj(state.G) * U, axis=-1)
     if cfg.normalize_aic:
         power = jnp.sum(jnp.real(Z * jnp.conj(Z)), axis=-1)
         Pest = cfg.rho_pest * state.Pest + (1.0 - cfg.rho_pest) * power
@@ -111,14 +113,20 @@ def gsc_step(
 
 def gsc_process(
     x: jnp.ndarray, geometry: ArrayGeometry, angle_rad=(197.0 / 180.0 * np.pi, 0.0),
-    cfg: GscConfig = GscConfig(),
+    cfg: GscConfig = GscConfig(), unroll: int = 1,
 ) -> jnp.ndarray:
-    """Offline GSC of a time-domain batch.  x: [..., M, S] -> [..., S]."""
+    """Offline GSC of a time-domain batch.  x: [..., M, S] -> [..., S].
+
+    ``unroll`` is a pure lowering hint on the frame scan (numerics
+    identical): amortises per-step loop overhead like enhance_scan's
+    unroll=8, at the cost of an 8x larger loop body to compile."""
     a = jnp.asarray(gsc_steering(cfg, geometry, angle_rad))
     X = analysis(x, cfg.stft)  # [..., M, T, F]
     Zt = jnp.moveaxis(jnp.moveaxis(X, -3, -1), -3, 0)  # [T, ..., F, M]
     state = gsc_init(cfg, batch_shape=Zt.shape[1:-2], cdtype=Zt.dtype)
-    _, Y = jax.lax.scan(lambda s, z: gsc_step(cfg, a.astype(z.dtype), s, z), state, Zt)
+    _, Y = jax.lax.scan(
+        lambda s, z: gsc_step(cfg, a.astype(z.dtype), s, z), state, Zt, unroll=unroll
+    )
     Y = jnp.moveaxis(Y, 0, -2)  # [..., T, F]
     return synthesis(Y, cfg.stft)
 

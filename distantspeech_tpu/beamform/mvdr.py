@@ -105,8 +105,10 @@ def mvdr_step(
     u = jnp.where(update[..., None], u_cand, state.u)
 
     # w = u / (a^H u); Yf = w^H Z = (u^H Z) / conj(a^H u)
-    den = jnp.einsum("...fm,...fm->...f", jnp.conj(a), u)
-    Yf = jnp.einsum("...fm,...fm->...f", jnp.conj(u), Z) / jnp.conj(den)
+    # multiply-reduce, not einsum: a tiny-M batched contraction lowers to
+    # per-bin dot_generals on TPU (see stats.linalg.matvec)
+    den = jnp.sum(jnp.conj(a) * u, axis=-1)
+    Yf = jnp.sum(jnp.conj(u) * Z, axis=-1) / jnp.conj(den)
     return MvdrState(Ryy=Ryy, Rvv=Rvv, u=u, mcra=mcra_state), Yf
 
 
@@ -193,7 +195,7 @@ def adaptive_mvdr2_process(
         Rvv, _ = carry
         Rvv = alpha * Rvv + (1.0 - alpha) * (z[..., :, None] * jnp.conj(z)[..., None, :])
         H = mvdr_weights(a, gauss_jordan_inv(Rvv + diag * eye))
-        Yf = jnp.einsum("fm,fm->f", jnp.conj(H), z)
+        Yf = jnp.sum(jnp.conj(H) * z, axis=-1)
         return (Rvv, H), Yf
 
     Rvv0 = jnp.ones((F, M, M), dtype=Z.dtype)

@@ -51,7 +51,8 @@ def pmwf_process(x: jnp.ndarray, geometry: ArrayGeometry, cfg: PmwfConfig = Pmwf
 
     def body(s, z):
         s, out = step(s, z)
-        y = jnp.einsum("...fm,...fm->...f", jnp.conj(out.w), z)
+        # multiply-reduce over the tiny mic axis (see stats.linalg.matvec)
+        y = jnp.sum(jnp.conj(out.w) * z, axis=-1)
         if cfg.omlsa_gain:
             G_H1 = out.xi / (1.0 + out.xi)
             G = jnp.clip(G_H1**out.p * cfg.gmin ** (1.0 - out.p), cfg.gmin, 1.0)

@@ -146,11 +146,13 @@ def subband_gsc_step(
 
 def subband_gsc_process(
     x: jnp.ndarray, geometry: ArrayGeometry, angle_rad=(197.0 / 180.0 * np.pi, 0.0),
-    cfg: SubbandGscConfig = SubbandGscConfig(),
+    cfg: SubbandGscConfig = SubbandGscConfig(), unroll: int = 1,
 ):
     """Offline SubbandGSC.  x: [..., M, S].
 
-    Returns (output [..., S], p [..., T, F], bm_output [..., M, S'])."""
+    Returns (output [..., S], p [..., T, F], bm_output [..., M, S']).
+
+    ``unroll``: frame-scan lowering hint, numerically inert (see gsc.py)."""
     L = cfg.frame_len
     _, xn = dc_notch(dc_notch_init(x.shape[:-1], dtype=x.dtype), x, radius=0.98)
     coeffs = jnp.asarray(time_alignment_filters(geometry, angle_rad), dtype=x.dtype)
@@ -162,7 +164,7 @@ def subband_gsc_process(
 
     state = subband_gsc_init(cfg, batch_shape=x.shape[:-2], dtype=x.dtype)
     _, (out, p, bm_out) = jax.lax.scan(
-        lambda s, blk: subband_gsc_step(cfg, Fn, s, blk), state, ab
+        lambda s, blk: subband_gsc_step(cfg, Fn, s, blk), state, ab, unroll=unroll
     )
     out = jnp.moveaxis(out, 0, -2).reshape(*x.shape[:-2], T * L)
     bm_full = jnp.moveaxis(bm_out, 0, -2).reshape(*x.shape[:-2], cfg.n_mics, T * L)

@@ -121,10 +121,12 @@ def tdgsc_step(
 
 def tdgsc_process(
     x: jnp.ndarray, geometry: ArrayGeometry, angle_rad=(197.0 / 180.0 * np.pi, 0.0),
-    cfg: TdGscConfig = TdGscConfig(),
+    cfg: TdGscConfig = TdGscConfig(), unroll: int = 1,
 ):
     """Offline TDGSC.  x: [..., M, S] -> (output [..., S], p [..., T, F],
-    bm_output [..., M-1, S]) like the reference's return tuple."""
+    bm_output [..., M-1, S]) like the reference's return tuple.
+
+    ``unroll``: frame-scan lowering hint, numerically inert (see gsc.py)."""
     L = cfg.frame_len
     # whole-utterance preprocessing (frame-independent)
     _, xn = dc_notch(dc_notch_init(x.shape[:-1], dtype=x.dtype), x, radius=0.98)
@@ -141,7 +143,8 @@ def tdgsc_process(
 
     state = tdgsc_init(cfg, batch_shape=x.shape[:-2], dtype=x.dtype)
     _, (out, p) = jax.lax.scan(
-        lambda s, fb: tdgsc_step(cfg, s, fb[0], fb[1]), state, (fbf_blocks, bm_blocks)
+        lambda s, fb: tdgsc_step(cfg, s, fb[0], fb[1]), state, (fbf_blocks, bm_blocks),
+        unroll=unroll,
     )
     out = jnp.moveaxis(out, 0, -2).reshape(*x.shape[:-2], T * L)
     return out, jnp.moveaxis(p, 0, -2), bm[..., : T * L]

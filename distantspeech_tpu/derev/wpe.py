@@ -28,6 +28,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from distantspeech_tpu.stats.linalg import matvec, vecmat
 from distantspeech_tpu.transform.subband import SubbandConfig, subband_analysis, subband_synthesis
 
 
@@ -80,16 +81,18 @@ def wpe_step(
     buf = jnp.concatenate([x_delayed[..., None], state.buf[..., :-1]], axis=-1)  # [..., F, C, N]
     X = buf.reshape(*buf.shape[:-2], C * N)  # [..., F, C*N]
 
-    y = jnp.einsum("...fmi,...fi->...fm", jnp.conj(state.W), X)
+    # matvec/vecmat as multiply-reduce: the C*N-sized batched contractions
+    # lower to per-bin dot_generals on TPU otherwise (see stats.linalg.matvec)
+    y = matvec(jnp.conj(state.W), X)
     e = d - y
 
-    var_n = jnp.abs(jnp.einsum("...fc,...fc->...f", jnp.conj(d), d)) / C
+    var_n = jnp.abs(jnp.sum(jnp.conj(d) * d, axis=-1)) / C
     var = cfg.alpha_var * state.var + (1.0 - cfg.alpha_var) * var_n
 
-    num = jnp.einsum("...fij,...fj->...fi", state.P, X)  # P X
-    den = lam * var.astype(num.dtype) + jnp.einsum("...fi,...fi->...f", jnp.conj(X), num)
+    num = matvec(state.P, X)  # P X
+    den = lam * var.astype(num.dtype) + jnp.sum(jnp.conj(X) * num, axis=-1)
     kn = num / den[..., None]
-    XhP = jnp.einsum("...fl,...flk->...fk", jnp.conj(X), state.P)
+    XhP = vecmat(jnp.conj(X), state.P)
     P = (state.P - kn[..., :, None] * XhP[..., None, :]) / lam
 
     W = state.W + jnp.conj(e)[..., :, None] * kn[..., None, :]

@@ -87,15 +87,23 @@ def mc_mcra_step(cfg: McMcraConfig, state: McMcraState, y: jnp.ndarray) -> Tuple
         load = cfg.diag + cfg.rel_diag * tr[..., None, None]
     Pinv = gauss_jordan_inv(Phi_vv + load * eye)
 
-    PiYy = Pinv @ Phi_yy
-    xi = jnp.clip(jnp.trace(PiYy, axis1=-2, axis2=-1) - C, 1e-6, 1e6)
+    # All downstream uses of Pinv are traces / quadratic forms over CxC
+    # matrices.  Batched [.., F, C, C] dot_generals with a tiny contraction
+    # lower to per-bin MXU dispatches on TPU (the jnp.linalg.inv problem in
+    # another guise — see stats/linalg.py); broadcast-multiply-reduce keeps
+    # the whole step on the VPU.  Identical math:
+    #   tr(Pinv @ Phi_yy)            = sum_ij Pinv_ij * Phi_yy_ji
+    #   y^T Pinv conj(y)             = sum_i y_i conj(v_i),  v = Pinv y
+    #   conj(y)^T Pinv Phi_xx Pinv y = conj(v)^T (Phi_xx v)   (Pinv real)
+    psi_tilde = jnp.sum(Pinv * jnp.swapaxes(Phi_yy, -1, -2), axis=(-2, -1))
+    xi = jnp.clip(psi_tilde - C, 1e-6, 1e6)
 
-    A = (Pinv @ Phi_xx @ Pinv).astype(y.dtype)
-    gamma = jnp.clip(jnp.real(jnp.einsum("...i,...ij,...j->...", jnp.conj(y), A, y)), 1e-6, 1e6)
+    v = jnp.sum(Pinv * y[..., None, :], axis=-1)  # [..., F, C] = Pinv @ y
+    Pxv = jnp.sum(Phi_xx * v[..., None, :], axis=-1)  # Phi_xx @ v
+    gamma = jnp.clip(jnp.real(jnp.sum(jnp.conj(v) * Pxv, axis=-1)), 1e-6, 1e6)
 
     # local absence statistic (compute_q_local)
-    psi = jnp.real(jnp.einsum("...i,...ij,...j->...", y, Pinv.astype(y.dtype), jnp.conj(y)))
-    psi_tilde = jnp.trace(PiYy, axis1=-2, axis2=-1)
+    psi = jnp.real(jnp.sum(y * jnp.conj(v), axis=-1))
     q_mid = jnp.clip((cfg.psi_tilde_0 - psi_tilde) / (cfg.psi_tilde_0 - C), cfg.q_min, cfg.q_max)
     q = jnp.where(
         (psi >= cfg.psi_0) | (psi_tilde > cfg.psi_tilde_0),

@@ -29,7 +29,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from distantspeech_tpu.stats.linalg import gauss_jordan_inv
+from distantspeech_tpu.stats.linalg import gauss_jordan_inv, matvec, trace_mm, vecmat
 
 from distantspeech_tpu.noise.mccdr import McCdrConfig, McCdrState, mccdr_init, mccdr_step
 from distantspeech_tpu.noise.mcspp_base import McSppOut
@@ -108,20 +108,22 @@ def mcspp_step(
     Phi_xx = Phi_yy - Phi_vv
     Pinv = gauss_jordan_inv(Phi_vv + diag)
 
-    xi = jnp.trace(jnp.real(Pinv @ Phi_yy), axis1=-2, axis2=-1) - C
+    # traces / quadratic forms as multiply-reduce: batched CxC dot_generals
+    # are per-bin MXU dispatches on TPU (see stats.linalg.matvec)
+    xi = jnp.real(trace_mm(Pinv, Phi_yy)) - C
     neg = xi < 0.0  # [..., F]
     repair = jnp.where(
         (state.frm_cnt < cfg.repair_frames), gauss_jordan_inv(Phi_yy + diag), gauss_jordan_inv(Phi_yy)
     )
     Pinv = jnp.where(neg[..., None, None], repair, Pinv)
-    xi = jnp.trace(jnp.real(Pinv @ Phi_yy), axis1=-2, axis2=-1) - C
+    xi = jnp.real(trace_mm(Pinv, Phi_yy)) - C
     xi = jnp.clip(xi, 1e-6, 1e8)
 
     # literal y^H Pinv Phi_yy Pinv y - y^H Pinv y (no hermitian assumption on Pinv)
-    lv = jnp.einsum("...j,...ji->...i", jnp.conj(y), Pinv)  # y^H Pinv
-    rv = jnp.einsum("...ij,...j->...i", Pinv, y)  # Pinv y
+    lv = vecmat(jnp.conj(y), Pinv)  # y^H Pinv
+    rv = matvec(Pinv, y)  # Pinv y
     gamma = jnp.real(
-        jnp.einsum("...i,...ij,...j->...", lv, Phi_yy, rv) - jnp.einsum("...i,...i->...", lv, y)
+        jnp.sum(lv * matvec(Phi_yy, rv), axis=-1) - jnp.sum(lv * y, axis=-1)
     )
     gamma = jnp.clip(gamma, 1e-6, 1e8)
 
@@ -133,7 +135,7 @@ def mcspp_step(
     Phi_vv_new = alpha_tilde * Phi_vv + (1.0 - alpha_tilde) * psd_yy
 
     # ---- PMWF weights, beta = 10 (mcspp.py:285) ----------------------------
-    w = (Pinv @ Phi_xx)[..., :, 0] / (cfg.pmwf_beta + xi)[..., None]
+    w = matvec(Pinv, Phi_xx[..., :, 0]) / (cfg.pmwf_beta + xi)[..., None]
 
     new_state = McSppState(Phi_yy=Phi_yy, Phi_vv=Phi_vv_new, mccdr=mccdr_state, frm_cnt=state.frm_cnt + 1)
     return new_state, McSppOut(p=p, q=q, xi=xi, gamma=gamma, w=w)

@@ -20,7 +20,7 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from distantspeech_tpu.stats.linalg import gauss_jordan_inv
+from distantspeech_tpu.stats.linalg import gauss_jordan_inv, matvec, trace_mm, vecmat
 
 from distantspeech_tpu.noise.mcra import McraConfig, McraState, mcra_init, mcra_step
 
@@ -85,11 +85,13 @@ def mcspp_base_step(cfg: McSppBaseConfig, state: McSppBaseState, y: jnp.ndarray)
     eye = jnp.eye(C, dtype=psd_yy.real.dtype)
     Pinv = gauss_jordan_inv(state.Phi_vv.real + cfg.diag * eye)  # real (mcspp_base.py:274)
 
-    PiXx = Pinv @ Phi_xx.real
-    xi = jnp.trace(PiXx, axis1=-2, axis2=-1)
+    # traces / quadratic forms as multiply-reduce: batched CxC dot_generals
+    # are per-bin MXU dispatches on TPU (see stats.linalg.matvec)
+    xi = trace_mm(Pinv, Phi_xx.real)
     # gamma = y^H Pinv Phi_xx Pinv y   on real matrices (mcspp_base.py:278-280)
-    A = Pinv @ Phi_xx.real @ Pinv
-    gamma = jnp.real(jnp.einsum("...i,...ij,...j->...", jnp.conj(y), A.astype(y.dtype), y))
+    lv = vecmat(jnp.conj(y), Pinv)  # y^H Pinv
+    rv = matvec(Pinv, y)  # Pinv y
+    gamma = jnp.real(jnp.sum(lv * matvec(Phi_xx.real, rv), axis=-1))
     xi = jnp.clip(xi, 1e-6, 1e6)
     gamma = jnp.clip(gamma, 1e-6, 1e6)
 
@@ -107,7 +109,7 @@ def mcspp_base_step(cfg: McSppBaseConfig, state: McSppBaseState, y: jnp.ndarray)
     Phi_vv = alpha_tilde * state.Phi_vv + (1.0 - alpha_tilde) * psd_yy
 
     # PMWF weights w = (Pinv Phi_xx u) / (beta + xi)  (compute_pmwf_weight :220)
-    w = (Pinv.astype(Phi_xx.dtype) @ Phi_xx)[..., :, 0] / (cfg.pmwf_beta + xi)[..., None]
+    w = matvec(Pinv, Phi_xx[..., :, 0]) / (cfg.pmwf_beta + xi)[..., None]
 
     new_state = McSppBaseState(Phi_yy=Phi_yy, Phi_vv=Phi_vv, p=p, mcra=mcra_state)
     return new_state, McSppOut(p=p, q=q, xi=xi, gamma=gamma, w=w)

@@ -107,11 +107,14 @@ def full_stack_step(
 def full_stack_process(
     x: jnp.ndarray, far_end: jnp.ndarray, geometry: ArrayGeometry,
     angle_rad=(197.0 / 180.0 * np.pi, 0.0), cfg: FullStackConfig = FullStackConfig(),
+    unroll: int = 1,
 ):
     """Offline run of the full stack.
 
     x: [..., M, S]; far_end: [..., S].
     Returns (enhanced [..., S'], kws_clean [..., S'], p [..., T, F]).
+
+    ``unroll``: frame-scan lowering hint, numerically inert (see gsc.py).
     """
     if cfg.aec.block_len != cfg.frame_len:
         raise ValueError("aec.block_len must equal frame_len for the composed stack")
@@ -127,7 +130,8 @@ def full_stack_process(
 
     state = full_stack_init(cfg, coeffs_np, batch_shape=x.shape[:-2], dtype=x.dtype)
     _, (out, kws_clean, p) = jax.lax.scan(
-        lambda s, blk: full_stack_step(cfg, coeffs, s, blk[0], blk[1]), state, (xb, fb)
+        lambda s, blk: full_stack_step(cfg, coeffs, s, blk[0], blk[1]), state, (xb, fb),
+        unroll=unroll,
     )
     out = jnp.moveaxis(out, 0, -2).reshape(*x.shape[:-2], T * L)
     kws_clean = jnp.moveaxis(kws_clean, 0, -2).reshape(*x.shape[:-2], T * L)

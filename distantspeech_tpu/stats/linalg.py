@@ -15,6 +15,29 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def matvec(A: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """Batched ``A @ x`` for tiny trailing dims as broadcast-multiply-reduce.
+
+    A: [..., M, N]; x: [..., N] -> [..., M].  A batched dot_general whose
+    contraction is tiny (M, N <= ~32) lowers to per-batch-element MXU
+    dispatches on TPU — measured 35x slower than this pure-VPU form on the
+    GSC pipeline (docs/performance.md, round 3).  Mixed real/complex
+    operands broadcast-promote, so no .astype is needed at call sites.
+    """
+    return jnp.sum(A * x[..., None, :], axis=-1)
+
+
+def vecmat(x: jnp.ndarray, A: jnp.ndarray) -> jnp.ndarray:
+    """Batched ``x^T A`` (x: [..., M]; A: [..., M, N] -> [..., N]), same
+    rationale as :func:`matvec`."""
+    return jnp.sum(x[..., :, None] * A, axis=-2)
+
+
+def trace_mm(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """``tr(A @ B) = sum_ij A_ij B_ji`` without forming the product."""
+    return jnp.sum(A * jnp.swapaxes(B, -1, -2), axis=(-2, -1))
+
+
 def gauss_jordan_inv(A: jnp.ndarray) -> jnp.ndarray:
     """Inverse of well-conditioned (diag-loaded) matrices, batched.
 

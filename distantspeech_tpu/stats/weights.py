@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from distantspeech_tpu.stats.linalg import matvec, trace_mm
+
 
 def diag_load_inv(R: jnp.ndarray, diag: float = 1e-3) -> jnp.ndarray:
     """inv(R + diag * I) batched over leading axes (diagonal loading guard)."""
@@ -23,8 +25,11 @@ def mvdr_weights(steer: jnp.ndarray, Rvv_inv: jnp.ndarray) -> jnp.ndarray:
 
     steer: [..., F, C]; Rvv_inv: [..., F, C, C] -> w: [..., F, C].
     """
-    num = jnp.einsum("...ij,...j->...i", Rvv_inv, steer)
-    den = jnp.einsum("...i,...i->...", jnp.conj(steer), num)
+    # multiply-reduce: tiny batched contractions lower to per-bin MXU
+    # dispatches on TPU (see stats.linalg.matvec) and this runs per frame
+    # inside mvdr scans
+    num = matvec(Rvv_inv, steer)
+    den = jnp.sum(jnp.conj(steer) * num, axis=-1)
     return num / den[..., None]
 
 
@@ -40,7 +45,7 @@ def pmwf_weights(xi: jnp.ndarray, Rxx: jnp.ndarray, Rvv_inv: jnp.ndarray, beta: 
     Rxx, Rvv_inv: [..., F, C, C] -> w: [..., F, C].
     Cf. compute_pmwf_weight (beamformer.py:100-130).
     """
-    num = (Rvv_inv @ Rxx)[..., :, 0]
+    num = matvec(Rvv_inv, Rxx[..., :, 0])
     return num / (beta + xi)[..., None]
 
 
@@ -52,9 +57,8 @@ def tfgsc_weights(Rvv_inv: jnp.ndarray, Ryy: jnp.ndarray) -> jnp.ndarray:
     Cf. beamformer.getweights 'TFGSC' branch (beamformer.py:327-333).
     """
     C = Ryy.shape[-1]
-    temp = Rvv_inv @ Ryy
-    num = temp[..., :, 0] - jnp.eye(C, dtype=temp.dtype)[:, 0]
-    den = jnp.trace(temp, axis1=-2, axis2=-1) - C
+    num = matvec(Rvv_inv, Ryy[..., :, 0]) - jnp.eye(C, dtype=Ryy.dtype)[:, 0]
+    den = trace_mm(Rvv_inv, Ryy) - C
     return num / den[..., None]
 
 
