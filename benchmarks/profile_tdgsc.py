@@ -97,7 +97,16 @@ def main():
         _, out = jax.lax.scan(body, st, (fb, bb))
         return out
 
+    def dc_only(xx):
+        _, xn = dc_notch(dc_notch_init(xx.shape[:-1], dtype=xx.dtype), xx, radius=0.98)
+        return xn
+
+    def fir_only(xx):
+        return fir_filter_offline(xx, jnp.asarray(coeffs_np, dtype=xx.dtype))
+
     variants = {
+        "dc_only": jax.jit(dc_only),
+        "fir_only": jax.jit(fir_only),
         "prep_only": jax.jit(prep),
         "stft_scan": jax.jit(scan_stft),
         "stft+mcra": jax.jit(scan_mcra),
