@@ -121,12 +121,20 @@ def tdgsc_step(
 
 def tdgsc_process(
     x: jnp.ndarray, geometry: ArrayGeometry, angle_rad=(197.0 / 180.0 * np.pi, 0.0),
-    cfg: TdGscConfig = TdGscConfig(), unroll: int = 1,
+    cfg: TdGscConfig = TdGscConfig(), unroll: int = 1, backend: str = "scan",
 ):
     """Offline TDGSC.  x: [..., M, S] -> (output [..., S], p [..., T, F],
     bm_output [..., M-1, S]) like the reference's return tuple.
 
-    ``unroll``: frame-scan lowering hint, numerically inert (see gsc.py)."""
+    ``unroll``: frame-scan lowering hint, numerically inert (see gsc.py).
+    ``backend``: 'scan' (any batch shape / device) or 'fused' (the Pallas
+    frame-loop kernel, TPU, [B, M, S] with B % 8 == 0, postfilter off)."""
+    if backend == "fused":
+        from distantspeech_tpu.ops.pallas_flms import fused_tdgsc
+
+        return fused_tdgsc(x, geometry, angle_rad, cfg)
+    if backend != "scan":
+        raise ValueError(f"unknown backend {backend!r}")
     L = cfg.frame_len
     # whole-utterance preprocessing (frame-independent)
     _, xn = dc_notch(dc_notch_init(x.shape[:-1], dtype=x.dtype), x, radius=0.98)

@@ -15,7 +15,7 @@ difference between serial sample code and a parallel tensor program.
 
 from __future__ import annotations
 
-from typing import Tuple
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -41,41 +41,6 @@ def first_order_recurrence(a, b: jnp.ndarray, s0) -> jnp.ndarray:
     return A * s0 + B
 
 
-def complex_pole_recurrence(
-    ar: float, ai: float, br: jnp.ndarray, bi: jnp.ndarray, z0r: jnp.ndarray, z0i: jnp.ndarray
-) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Solve z[n] = (ar + j*ai) z[n-1] + (br[n] + j*bi[n]) over the last axis.
-
-    Carried as two REAL arrays with the sample axis last: complex dtypes are
-    avoided entirely (eager complex constants are UNIMPLEMENTED over the
-    axon tunnel) and the lane axis is the long N axis — the layout that
-    makes the log-depth scan fast.  This is the diagonalised form of any
-    real 2x2 constant-matrix recurrence with complex-conjugate eigenvalues
-    (e.g. the speex DC-notch biquad): one complex pole carries the whole
-    2-state dynamics because the second state is its conjugate.
-
-    ar, ai: python floats (the pole); br, bi: [..., N]; z0r, z0i: [...].
-    Returns (zr, zi): [..., N] (state after absorbing each step).
-    """
-    a_r = jnp.full_like(br, ar)
-    a_i = jnp.full_like(br, ai)
-
-    def combine(left, right):
-        lar, lai, lbr, lbi = left
-        rar, rai, rbr, rbi = right
-        return (
-            rar * lar - rai * lai,
-            rar * lai + rai * lar,
-            rar * lbr - rai * lbi + rbr,
-            rar * lbi + rai * lbr + rbi,
-        )
-
-    Ar, Ai, Br, Bi = jax.lax.associative_scan(combine, (a_r, a_i, br, bi), axis=-1)
-    z0r = z0r[..., None]
-    z0i = z0i[..., None]
-    return Ar * z0r - Ai * z0i + Br, Ar * z0i + Ai * z0r + Bi
-
-
 def affine_recurrence(A: jnp.ndarray, b: jnp.ndarray, s0: jnp.ndarray) -> jnp.ndarray:
     """Solve s[n] = A[n] @ s[n-1] + b[n] for small state dim k.
 
@@ -96,3 +61,77 @@ def affine_recurrence(A: jnp.ndarray, b: jnp.ndarray, s0: jnp.ndarray) -> jnp.nd
 
     Acum, bcum = jax.lax.associative_scan(combine, (A, b), axis=-3)
     return jnp.sum(Acum * s0[..., None, None, :], axis=-1) + bcum
+
+
+@lru_cache(maxsize=None)
+def _blocked_consts(A_key: tuple, Bv_key: tuple, k: int, n: int):
+    """Block state-space constants for s[n] = A s[n-1] + Bv x[n] over an
+    n-sample block (float64 numpy):
+
+      Rm [n, n*k] : in-block response  — R[j] = sum_{m<=j} A^{j-m} Bv x[m]
+      G  [n, k]   : block charge       — c   = sum_{m} A^{n-1-m} Bv x[m]
+      P  [k, k]   : block propagator A^n
+      S1 [k, n*k] : initial-state response A^{j+1} s_start per sample j
+    """
+    import numpy as np
+
+    A = np.asarray(A_key, np.float64).reshape(k, k)
+    Bv = np.asarray(Bv_key, np.float64)
+    powers = [np.eye(k)]
+    for _ in range(n):
+        powers.append(powers[-1] @ A)
+    pw = np.stack(powers)  # [n+1, k, k], pw[j] = A^j
+    v = pw[:n] @ Bv  # [n, k], v[j] = A^j Bv
+    j = np.arange(n)[None, :]
+    m = np.arange(n)[:, None]
+    R = np.where((j >= m)[..., None], v[np.clip(j - m, 0, None)], 0.0)  # [m, j, k]
+    Rm = R.reshape(n, n * k)
+    G = v[::-1].copy()  # G[m] = A^{n-1-m} Bv
+    P = pw[n]
+    S1 = np.transpose(pw[1 : n + 1], (2, 0, 1)).reshape(k, n * k)  # [i, j*k+e] = (A^{j+1})[e,i]
+    return Rm, G, P, S1
+
+
+def constant_affine_blocked(A, Bv, x: jnp.ndarray, s0: jnp.ndarray, block: int = 256) -> jnp.ndarray:
+    """Solve s[n] = A s[n-1] + Bv x[n] with CONSTANT (A, Bv) over the last
+    axis of x, s[-1] = s0; returns the full state sequence [..., N, k].
+
+    Same recurrence as ``affine_recurrence`` with A[n] = A and
+    b[n] = Bv * x[n], but evaluated by block state-space decomposition:
+    two bulk MXU matmuls per block (in-block Toeplitz response + initial-
+    state decay) around a block-level affine recurrence of N//block steps.
+    The log-depth sample-level scan materialises [..., N, k, k] tensors at
+    every of its log2(N) sweeps — measured 111 ms of the 117 ms TDGSC
+    iteration (the whole round-3 "GSC family serial floor" was this one
+    op); the blocked form is ~2.1e9 MACs at flagship size, ~100 us on MXU.
+    """
+    import numpy as np
+
+    A = np.asarray(A, np.float64)
+    Bv = np.asarray(Bv, np.float64)
+    k = Bv.shape[0]
+    N = x.shape[-1]
+    batch = x.shape[:-1]
+    key = (tuple(A.ravel()), tuple(Bv.ravel()))
+
+    def run_segment(xseg, s0, n):
+        Rm, G, P, S1 = _blocked_consts(key[0], key[1], k, n)
+        T = xseg.shape[-1] // n
+        xb = xseg.reshape(*batch, T, n)
+        dt = x.dtype
+        inblock = jnp.matmul(xb, jnp.asarray(Rm, dt), precision="highest")
+        c = jnp.matmul(xb, jnp.asarray(G, dt), precision="highest")  # [.., T, k]
+        Pb = jnp.broadcast_to(jnp.asarray(P, dt), (*batch, T, k, k))
+        m_ends = affine_recurrence(Pb, c, s0)  # [.., T, k]
+        m_starts = jnp.concatenate([s0[..., None, :], m_ends[..., :-1, :]], axis=-2)
+        decay = jnp.matmul(m_starts, jnp.asarray(S1, dt), precision="highest")
+        states = (inblock + decay).reshape(*batch, T * n, k)
+        return states, m_ends[..., -1, :]
+
+    n_main = min(block, N)
+    n_full = (N // n_main) * n_main
+    states, s_end = run_segment(x[..., :n_full], s0, n_main)
+    if n_full != N:  # remainder tail as one short block
+        tail, _ = run_segment(x[..., n_full:], s_end, N - n_full)
+        states = jnp.concatenate([states, tail], axis=-2)
+    return states

@@ -1,0 +1,74 @@
+"""Fused FLMS/GSC Pallas kernels vs their scan references (interpret mode).
+
+The scan paths are themselves parity-tested against the reference classes
+(test_gsc.py), so scan-vs-fused closes the chain to TDGSC.process
+(/root/reference/DistantSpeech/beamformer/TDGSC.py:110-172)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from distantspeech_tpu.array.geometry import ArrayGeometry
+from distantspeech_tpu.beamform.tdgsc import TdGscConfig, tdgsc_process
+from distantspeech_tpu.ops.pallas_flms import fused_tdgsc, plain_dft_packed
+
+ANG = (np.pi / 2, 0.0)
+
+
+def _scene(B=8, M=4, S=4096, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.standard_normal((B, M, S)).astype(np.float32))
+
+
+def test_plain_dft_packed_roundtrip():
+    n = 512
+    CS, AB = plain_dft_packed(n)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((4, n))
+    Z = x @ CS
+    xr = Z @ AB
+    np.testing.assert_allclose(xr, x, atol=1e-10)
+    # packed planes match numpy rfft
+    F = n // 2 + 1
+    ref = np.fft.rfft(x, axis=-1)
+    np.testing.assert_allclose(Z[:, : n // 2], np.real(ref)[:, :-1], atol=1e-9)
+    np.testing.assert_allclose(Z[:, n // 2], np.real(ref)[:, -1], atol=1e-9)
+    np.testing.assert_allclose(Z[:, n // 2 + 1 :], np.imag(ref)[:, 1:-1], atol=1e-9)
+
+
+def test_fused_tdgsc_matches_scan():
+    x = _scene()
+    geom = ArrayGeometry.linear(4, 0.032)
+    cfg = TdGscConfig(n_mics=4)
+    o1, p1, bm1 = tdgsc_process(x, geom, ANG, cfg)
+    o2, p2, bm2 = fused_tdgsc(x, geom, ANG, cfg, interpret=True)
+    scale = np.max(np.abs(np.asarray(o1))) + 1e-12
+    assert np.max(np.abs(np.asarray(o1) - np.asarray(o2))) / scale < 1e-5
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(bm1), np.asarray(bm2), atol=1e-6)
+
+
+def test_fused_tdgsc_chunking_invariance():
+    x = _scene(S=4096)
+    geom = ArrayGeometry.linear(4, 0.032)
+    cfg = TdGscConfig(n_mics=4)
+    a = fused_tdgsc(x, geom, ANG, cfg, interpret=True, t_chunk=16)[0]
+    b = fused_tdgsc(x, geom, ANG, cfg, interpret=True, t_chunk=7)[0]  # padded frames
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_fused_tdgsc_sub_batching():
+    x = _scene(B=16, S=2048)
+    geom = ArrayGeometry.linear(4, 0.032)
+    cfg = TdGscConfig(n_mics=4)
+    a = fused_tdgsc(x, geom, ANG, cfg, interpret=True)[0]
+    b = fused_tdgsc(x, geom, ANG, cfg, interpret=True, sub=16)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_fused_tdgsc_rejects_bad_shapes():
+    geom = ArrayGeometry.linear(4, 0.032)
+    with pytest.raises(ValueError):
+        fused_tdgsc(_scene(B=3), geom, ANG, TdGscConfig(), interpret=True)
+    with pytest.raises(ValueError):
+        fused_tdgsc(_scene(), geom, ANG, TdGscConfig(postfilter=True), interpret=True)
