@@ -30,7 +30,15 @@ from distantspeech_tpu.transform import StftConfig, analysis, synthesis
 
 @dataclasses.dataclass(frozen=True)
 class EnhanceConfig:
-    mvdr: MvdrConfig = MvdrConfig(mcra_L=65)  # speech-scale minima window
+    # speech-scale minima window (L=65) + the raw-indicator covariance
+    # guard: MCRA forces p = 0 for the first 2L frames (mcra.py:68-69), and
+    # without the guard that one second of open VAD gate absorbs real
+    # speech into Rvv (alpha_v 0.9998 ~ 5000-frame memory), self-cancelling
+    # the target for the rest of the utterance — measured -18 dB SI-SDR on
+    # the real-speech mix vs +5.1 dB with the guard on a led-in capture
+    # (REAL_AUDIO.json, round 4).  rel_diag is the f32 conditioning guard
+    # (see MvdrConfig).
+    mvdr: MvdrConfig = MvdrConfig(mcra_L=65, vad_guard=True, rel_diag=1e-5)
     alpha_xi: float = 0.92  # decision-directed pole
     gmin: float = 0.0631  # -24 dB gain floor (mcspp_base.py:140)
 
@@ -105,8 +113,11 @@ def enhance_scan_pallas(
         )
     mv = cfg.mvdr
     power = jnp.real(Zt[..., 0] * jnp.conj(Zt[..., 0]))  # [T, B, F]
-    lam, p = mcra_run(mv.mcra, power)
-    gate = (p < mv.p_vad).astype(jnp.float32)
+    lam, p, sr = mcra_run(mv.mcra, power, return_sr=True)
+    gate = p < mv.p_vad
+    if mv.vad_guard:
+        gate = gate & (sr <= mv.mcra.delta_s)
+    gate = gate.astype(jnp.float32)
 
     return pallas_mvdr_scan(
         Zt, gate, steer, alpha_v=mv.alpha_v, diag=mv.diag, rel_diag=mv.rel_diag,

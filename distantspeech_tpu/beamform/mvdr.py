@@ -53,6 +53,15 @@ class MvdrConfig:
     mcra_L: int = 15  # minima window; 15 matches the reference MVDR default,
     # but real speech needs ~65 (0.5 s) or bursts leak into the noise floor
     # (the reference's own GSC pipelines use 60-65, TDGSC.py:44-45)
+    vad_guard: bool = False  # additionally gate Rvv updates on MCRA's RAW
+    # speech indicator S/Smin <= delta_s.  MCRA forces p = 0 for the first
+    # 2L frames (mcra.py:68-69) so lambda_d converges, which leaves the
+    # covariance gate wide open for ~1 s; on recordings that start mid-
+    # speech the target is absorbed into Rvv (alpha_v memory ~5000 frames)
+    # and self-cancelled for the rest of the utterance (measured -18 dB
+    # SI-SDR on the real-speech mix, REAL_AUDIO.json r4).  The raw
+    # indicator is exactly the statistic p is filtered from, minus the
+    # warmup forcing.  Off by default: the reference has no such guard.
 
     @property
     def mcra(self) -> McraConfig:
@@ -91,6 +100,9 @@ def mvdr_step(
     Ryy = rank1_update(state.Ryy, Z, cfg.alpha_y)
 
     update = p < cfg.p_vad  # [..., F]
+    if cfg.vad_guard:
+        Sr = mcra_state.S / (mcra_state.Smin + 1e-6)
+        update = update & (Sr <= cfg.mcra.delta_s)
     Rvv_cand = rank1_update(state.Rvv, Z, cfg.alpha_v)
     eye = jnp.eye(Z.shape[-1], dtype=Z.dtype)
     load = cfg.diag

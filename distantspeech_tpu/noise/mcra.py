@@ -142,12 +142,21 @@ def mcra_step(cfg: McraConfig, state: McraState, Y: jnp.ndarray) -> Tuple[McraSt
     return new_state, (lam_out, p_out)
 
 
-def mcra_run(cfg: McraConfig, Y_tf: jnp.ndarray, unroll: int = 8) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def mcra_run(cfg: McraConfig, Y_tf: jnp.ndarray, unroll: int = 8, return_sr: bool = False):
     """Scan MCRA over a whole spectrogram.
 
     Y_tf: [T, ..., F] power spectrum, time-major.
-    Returns (lambda_d [T, ..., F], p [T, ..., F]).
+    Returns (lambda_d [T, ..., F], p [T, ..., F]); with ``return_sr`` also
+    the raw per-frame speech indicator ratio S/Smin (the statistic p is
+    filtered from, without the 2L warmup forcing — see MvdrConfig.vad_guard).
     """
     state = mcra_init(cfg, batch_shape=Y_tf.shape[1:-1], dtype=Y_tf.dtype)
-    _, (lam, p) = jax.lax.scan(lambda s, y: mcra_step(cfg, s, y), state, Y_tf, unroll=unroll)
-    return lam, p
+
+    def body(s, y):
+        s2, (lam, p) = mcra_step(cfg, s, y)
+        if return_sr:
+            return s2, (lam, p, s2.S / (s2.Smin + 1e-6))
+        return s2, (lam, p)
+
+    _, out = jax.lax.scan(body, state, Y_tf, unroll=unroll)
+    return out

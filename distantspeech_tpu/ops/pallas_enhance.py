@@ -101,7 +101,8 @@ def _mcra_frame(tg, Yp, Sf_t, S, Smin, Stmp, Pp, Lam, interior, mask0,
     Stmp[...] = Stmp_out
     Pp[...] = p_out
     Lam[...] = lam_out
-    return p_out, lam_out
+    sr = S_out / (Smin_out + 1e-6)  # raw speech indicator (mvdr.vad_guard)
+    return p_out, lam_out, sr
 
 
 def _enhance_kernel(
@@ -112,7 +113,7 @@ def _enhance_kernel(
     L: int, alpha_s: float, alpha_p: float, alpha_d: float, delta_s: float,
     p_min: float, p_max: float,
     alpha_v: float, diag: float, rel_diag: float, p_vad: float,
-    alpha_xi: float, gmin: float, last_bin: bool,
+    alpha_xi: float, gmin: float, last_bin: bool, vad_guard: bool = False,
 ):
     """The full flagship frame loop: in-kernel MCRA -> gated MVDR (LDL^H
     solve) -> decision-directed OM-LSA gain, state resident in VMEM across
@@ -152,12 +153,14 @@ def _enhance_kernel(
             lam_out = alpha_t * 1e-8 + (1.0 - alpha_t) * Yp
             upd = None  # p_min < p_vad: the gate is always open
         else:
-            p_out, lam_out = _mcra_frame(
+            p_out, lam_out, sr = _mcra_frame(
                 tg, Yp, sf_ref[t, 0], S, Smin, Stmp, Pp, Lam, interior, mask0,
                 L=L, alpha_s=alpha_s, alpha_p=alpha_p, alpha_d=alpha_d,
                 delta_s=delta_s, p_min=p_min, p_max=p_max,
             )
             upd = p_out < p_vad
+            if vad_guard:
+                upd = upd & (sr <= delta_s)
 
         yr, yi = _mvdr_frame(zr, zi, upd, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag, rel_diag)
 
@@ -273,6 +276,7 @@ def fused_enhance(
         L=mc.L, alpha_s=mc.alpha_s, alpha_p=mc.alpha_p, alpha_d=mc.alpha_d,
         delta_s=mc.delta_s, p_min=mc.p_min, p_max=mc.p_max,
         alpha_v=mv.alpha_v, diag=mv.diag, rel_diag=mv.rel_diag, p_vad=mv.p_vad,
+        vad_guard=getattr(mv, "vad_guard", False),
         alpha_xi=cfg.alpha_xi, gmin=cfg.gmin,
     )
     scratch = [
@@ -343,7 +347,7 @@ def _mega_kernel(
     p_min: float, p_max: float, b: tuple,
     alpha_v: float, diag: float, rel_diag: float, p_vad: float,
     alpha_xi: float, gmin: float, mxu: str = "highest", unroll: int = 1,
-    sub: int = _SUB,
+    sub: int = _SUB, vad_guard: bool = False,
 ):
     """The whole flagship pipeline in ONE kernel: framing + windowed DFT +
     MCRA (cross-bin smoothing via lane shifts) + gated MVDR + OM-LSA +
@@ -414,12 +418,14 @@ def _mega_kernel(
         Pr = jnp.concatenate([Yp[:, 1:], Pn], axis=1)
         Sf_t = b[0] * Pl + b[1] * Yp + b[2] * Pr
 
-        p_out, lam_out = _mcra_frame(
+        p_out, lam_out, sr = _mcra_frame(
             tg, Yp, Sf_t, S, Smin, Stmp, Pp, Lam, interior, mask0,
             L=L, alpha_s=alpha_s, alpha_p=alpha_p, alpha_d=alpha_d,
             delta_s=delta_s, p_min=p_min, p_max=p_max,
         )
         upd = p_out < p_vad
+        if vad_guard:
+            upd = upd & (sr <= delta_s)
         yr, yi = _mvdr_frame(zr, zi, upd, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag, rel_diag)
 
         gamma = (yr * yr + yi * yi) / jnp.maximum(lam_out, 1e-10)
@@ -538,6 +544,7 @@ def fused_enhance_full(
         L=mc.L, alpha_s=mc.alpha_s, alpha_p=mc.alpha_p, alpha_d=mc.alpha_d,
         delta_s=mc.delta_s, p_min=mc.p_min, p_max=mc.p_max,
         alpha_v=mv.alpha_v, diag=mv.diag, rel_diag=mv.rel_diag, p_vad=mv.p_vad,
+        vad_guard=getattr(mv, "vad_guard", False),
         alpha_xi=cfg.alpha_xi, gmin=cfg.gmin,
     )
 

@@ -139,7 +139,7 @@ def _tdgsc_kernel(
 
     def frame(t, _):
         tg = chunk_base + t
-        p_out, _ = _mcra_frame(
+        p_out, _, _ = _mcra_frame(
             tg, yp_ref[t, 0], sf_ref[t, 0], S, Smin, Stmp, Pp, Lam, interior,
             mask0, L=L, alpha_s=alpha_s, alpha_p=alpha_p, alpha_d=alpha_d,
             delta_s=delta_s, p_min=p_min, p_max=p_max,

@@ -135,8 +135,11 @@ def make_sharded_enhance_pallas(
         Zt = jax.lax.with_sharding_constraint(Zt, NamedSharding(mesh, spec_z))
 
         power = jnp.real(Zt[..., 0] * jnp.conj(Zt[..., 0]))[..., :F]
-        lam, p = mcra_run(mv.mcra, power)  # GSPMD handles the 1-bin halo
-        gate = (p < mv.p_vad).astype(jnp.float32)
+        lam, p, sr = mcra_run(mv.mcra, power, return_sr=True)  # GSPMD handles the 1-bin halo
+        gate = p < mv.p_vad
+        if mv.vad_guard:
+            gate = gate & (sr <= mv.mcra.delta_s)
+        gate = gate.astype(jnp.float32)
         padF = [(0, 0), (0, 0), (0, Fp - F)]
         gate = jnp.pad(gate, padF)
         p = jnp.pad(p, padF)
@@ -303,5 +306,91 @@ def make_sharded_gsc(mesh: Mesh, geometry: ArrayGeometry, angle_rad=(197.0 / 180
         _, Y = jax.lax.scan(lambda s, z: gsc_step(cfg, jnp.asarray(a).astype(z.dtype), s, z), state, Zt)
         Y = jax.lax.with_sharding_constraint(Y, NamedSharding(mesh, P(None, "dp", "fb")))
         return synthesis(jnp.moveaxis(Y, 0, -2), cfg.stft)
+
+    return run
+
+
+def make_sharded_enhance_mega(
+    mesh: Mesh,
+    geometry: ArrayGeometry,
+    look_angle_deg=(90.0, 0.0),
+    cfg: EnhanceConfig = EnhanceConfig(),
+    interpret: bool = None,
+    mxu: str = "highest",
+    sub: int = 8,
+):
+    """The bench-default mega kernel (``fused_enhance_full`` — the WHOLE
+    pipeline in one Pallas call) over the mesh, batch-data-parallel.
+
+    Utterances are independent end to end, so the batch axis shards over
+    EVERY mesh axis (dp x fb) and each device runs the full kernel on its
+    local shard — zero collectives in the shard region (verified by
+    ``parallel.scaling.collective_stats``, SCALING.json v3).  This is the
+    multi-chip story for the path bench.py actually measures; the fb-sharded
+    runners above cover the model-parallel (per-bin state) recipe.
+
+    Returns f(x [B, M, S]) -> [B, S]; B divisible by n_devices * sub.
+    """
+    from distantspeech_tpu.ops.pallas_enhance import fused_enhance_full
+
+    if interpret is None:
+        interpret = mesh.devices.ravel()[0].platform != "tpu"
+    angle_rad = np.asarray(look_angle_deg, dtype=np.float64) / 180.0 * np.pi
+    steer = np.asarray(steering_vector(geometry, angle_rad, cfg.stft.n_fft), dtype=np.complex64)
+    axes = tuple(mesh.axis_names)
+    batch_spec = P(axes, None, None)
+
+    def _local(x_loc):
+        return fused_enhance_full(x_loc, steer, cfg, interpret=interpret, mxu=mxu, sub=sub)
+
+    local = jax.shard_map(
+        _local, mesh=mesh, in_specs=(batch_spec,), out_specs=P(axes, None),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(x):
+        x = jax.lax.with_sharding_constraint(x, NamedSharding(mesh, batch_spec))
+        return local(x)
+
+    return run
+
+
+def make_sharded_tdgsc_fused(
+    mesh: Mesh,
+    geometry: ArrayGeometry,
+    angle_rad=(197.0 / 180.0 * np.pi, 0.0),
+    cfg=None,
+    interpret: bool = None,
+    sub: int = 8,
+):
+    """The fused TDGSC frame-loop kernel (``ops.pallas_flms.fused_tdgsc``)
+    batch-data-parallel over every mesh axis; collective-free like the mega
+    runner (utterances are independent).  Returns f(x [B, M, S]) ->
+    (out [B, S'], p [B, T, F], bm [B, M-1, S']); B divisible by
+    n_devices * sub."""
+    from distantspeech_tpu.beamform.tdgsc import TdGscConfig
+    from distantspeech_tpu.ops.pallas_flms import fused_tdgsc
+
+    if cfg is None:
+        cfg = TdGscConfig(n_mics=geometry.n_mics)
+    if interpret is None:
+        interpret = mesh.devices.ravel()[0].platform != "tpu"
+    axes = tuple(mesh.axis_names)
+    batch_spec = P(axes, None, None)
+
+    def _local(x_loc):
+        return fused_tdgsc(x_loc, geometry, angle_rad, cfg, interpret=interpret, sub=sub)
+
+    local = jax.shard_map(
+        _local, mesh=mesh, in_specs=(batch_spec,),
+        out_specs=(P(axes, None), P(axes, None, None), P(axes, None, None)),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def run(x):
+        x = jax.lax.with_sharding_constraint(x, NamedSharding(mesh, batch_spec))
+        return local(x)
 
     return run
