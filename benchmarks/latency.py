@@ -44,7 +44,9 @@ def main(args):
 
     reports = {}
     for name in names:
-        proc = STREAM_FACTORIES[name](geom, (90.0, 0.0), chunk_size=chunk, fs=fs)
+        # full_stack chunk convention: rows 0..M-2 mics + last row far-end
+        g = geom if name != "full_stack" else ArrayGeometry.linear(M - 1, 0.032, fs=fs)
+        proc = STREAM_FACTORIES[name](g, (90.0, 0.0), chunk_size=chunk, fs=fs)
         out = proc.run(wav_chunks(x, chunk))
         assert out is not None and np.isfinite(out).all(), f"non-finite {name} streaming output"
         rep = proc.latency_report(skip_warmup=2)
@@ -57,6 +59,12 @@ def main(args):
     top = dict(reports.get("enhance", reports[names[0]]))
     top["platform"] = jax.devices()[0].platform
     top["n_mics"] = M
+    top["note"] = (
+        "per-chunk latency INCLUDES host<->device transport; over the "
+        "axon tunnel that is a ~30 ms round-trip floor shared by every "
+        "pipeline (device compute is the 0-4 ms spread between them; "
+        "cf. PIPELINES throughput, where transfers amortise)"
+    )
     top["pipelines"] = reports
     with open(args.out, "w") as f:
         json.dump(top, f, indent=1)

@@ -94,7 +94,10 @@ def mc_mcra_step(cfg: McMcraConfig, state: McMcraState, y: jnp.ndarray) -> Tuple
     # the whole step on the VPU.  Identical math:
     #   tr(Pinv @ Phi_yy)            = sum_ij Pinv_ij * Phi_yy_ji
     #   y^T Pinv conj(y)             = sum_i y_i conj(v_i),  v = Pinv y
-    #   conj(y)^T Pinv Phi_xx Pinv y = conj(v)^T (Phi_xx v)   (Pinv real)
+    #   conj(y)^T Pinv Phi_xx Pinv y = conj(v)^T (Phi_xx v)  — equal only up
+    #   to rounding: gauss_jordan_inv of a symmetric Pn is symmetric to float
+    #   rounding, not exactly, so this differs from the literal two-sided
+    #   form at the last few ulps (parity tests pass in float64)
     psi_tilde = jnp.sum(Pinv * jnp.swapaxes(Phi_yy, -1, -2), axis=(-2, -1))
     xi = jnp.clip(psi_tilde - C, 1e-6, 1e6)
 

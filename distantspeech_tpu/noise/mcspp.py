@@ -53,8 +53,12 @@ class McSppConfig:
 
     @property
     def mccdr(self) -> McCdrConfig:
-        # McSpp always builds McCDR with its channel default (mcspp.py:57)
-        return McCdrConfig(nfft=self.nfft, n_channels=4)
+        # McSpp always builds McCDR with its 4-channel default (mcspp.py:54)
+        # — with MORE channels the reference crashes outright (its [4,4,F]
+        # Phi_yy cannot absorb a CxC outer product); we keep the 4-channel
+        # CDR track and feed it the first 4 channels (mcspp_step), which is
+        # bit-identical at C == 4 and defined for any C
+        return McCdrConfig(nfft=self.nfft, n_channels=min(4, self.n_channels))
 
     @property
     def qband(self) -> Tuple[int, int]:
@@ -89,7 +93,7 @@ def mcspp_step(
     eye = jnp.eye(C, dtype=y.dtype)
     warm = state.frm_cnt < cfg.warmup_frames
 
-    mccdr_state, cdr_p = mccdr_step(cfg.mccdr, Fn, state.mccdr, y)
+    mccdr_state, cdr_p = mccdr_step(cfg.mccdr, Fn, state.mccdr, y[..., : cfg.mccdr.n_channels])
     q = 1.0 - cdr_p  # mcspp.py:116-117
 
     lo, hi = cfg.qband

@@ -175,6 +175,59 @@ def measure_scaling(
     return results
 
 
+def runner_collectives(n_mics: int = 4, fs: int = 16000) -> Dict[str, Dict]:
+    """Collective attribution for EVERY sharded runner's compiled HLO — the
+    "negligible comms" claim, checked per program that actually ships
+    sharded (VERDICT r3 #9).  The batch-dp runners (mega, fused TDGSC) must
+    show zero collectives; the fb-sharded runners show the per-frame halo +
+    edge redistributes.  Runs on whatever devices exist (CPU mesh in CI).
+    """
+    from distantspeech_tpu.beamform.gsc import GscConfig
+    from distantspeech_tpu.beamform.subband_gsc import SubbandGscConfig
+    from distantspeech_tpu.beamform.tdgsc import TdGscConfig
+    from distantspeech_tpu.derev.wpe import WpeConfig
+    from distantspeech_tpu.parallel.sharded import (
+        make_sharded_enhance_mega, make_sharded_enhance_pallas, make_sharded_gsc,
+        make_sharded_subband_gsc, make_sharded_tdgsc_fused, make_sharded_wpe,
+    )
+
+    n_dev = len(jax.devices())
+    dp = 2 if n_dev % 2 == 0 and n_dev > 1 else 1
+    mesh = make_mesh(dp, n_dev // dp)
+    geom = ArrayGeometry.linear(n_mics, 0.032, fs=fs)
+    interp = jax.devices()[0].platform != "tpu"
+    ang = (197.0 / 180.0 * np.pi, 0.0)
+    rng = np.random.default_rng(0)
+
+    def x_of(B, C, S):
+        return jnp.asarray(rng.standard_normal((B, C, S)).astype(np.float32))
+
+    cases = {
+        "enhance_scan": (make_sharded_enhance(mesh, geom, (90.0, 0.0), EnhanceConfig()),
+                         x_of(2 * dp, n_mics, 128 * 8)),
+        "enhance_pallas": (make_sharded_enhance_pallas(mesh, geom, (90.0, 0.0), EnhanceConfig(), interpret=interp),
+                           x_of(2 * dp, n_mics, 128 * 8)),
+        "enhance_mega": (make_sharded_enhance_mega(mesh, geom, (90.0, 0.0), EnhanceConfig(), interpret=interp),
+                         x_of(8 * n_dev, n_mics, 128 * 4)),
+        "tdgsc_fused": (make_sharded_tdgsc_fused(mesh, geom, ang, TdGscConfig(n_mics=n_mics), interpret=interp),
+                        x_of(8 * n_dev, n_mics, 256 * 3)),
+        "wpe": (make_sharded_wpe(mesh, WpeConfig(num_bands=64, hop=32, n_channels=2, filter_len=2, delay=2)),
+                x_of(2 * dp, 2, 32 * 12)),
+        "subband_gsc": (make_sharded_subband_gsc(mesh, geom, ang, SubbandGscConfig(n_mics=n_mics, frame_len=128)),
+                        x_of(2 * dp, n_mics, 128 * 3)),
+        "gsc": (make_sharded_gsc(mesh, geom, ang, GscConfig(n_mics=n_mics)),
+                x_of(2 * dp, n_mics, 128 * 3)),
+    }
+    out = {}
+    for name, (run, x) in cases.items():
+        try:
+            hlo = run.lower(x).compile().as_text()
+            out[name] = {"mesh": f"{dp}x{n_dev // dp}", **{"collectives": collective_stats(hlo)}}
+        except Exception as e:  # pragma: no cover - lowering API drift
+            out[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+    return out
+
+
 if __name__ == "__main__":
     import argparse
     import json
@@ -194,7 +247,9 @@ if __name__ == "__main__":
         jax.config.update("jax_platforms", "cpu")
 
     results = measure_scaling()
+    runners = runner_collectives()
     artifact = {
+        "version": 3,
         "platform": f"{jax.devices()[0].platform}-{len(jax.devices())}dev",
         "note": (
             "mesh-shape sweep; efficiency is throughput / (1x1 baseline * devices); "
@@ -205,6 +260,7 @@ if __name__ == "__main__":
             "docs/performance.md 'Scaling' for the diagnosis."
         ),
         "results": results,
+        "runner_collectives": runners,
     }
     text = json.dumps(artifact, indent=1)
     print(text)

@@ -83,6 +83,13 @@ def run(args) -> np.ndarray:
                 f"--stream supports pipelines {sorted(STREAM_FACTORIES)} "
                 f"(got {args.pipeline}); the offline mode covers the rest"
             )
+        sgeom = geom
+        if args.pipeline == "full_stack":
+            # chunk convention: rows 0..M-2 are mics, the LAST row is the
+            # far-end playback reference (make_full_stack_stream)
+            if M < 3:
+                raise SystemExit("--stream full_stack needs >= 2 mic channels + 1 far-end channel")
+            sgeom = mk(M - 1, args.spacing, fs=fs)
         kwargs = {}
         if args.pipeline == "gsc" and args.reference_exact:
             from distantspeech_tpu.beamform import GscConfig
@@ -92,7 +99,7 @@ def run(args) -> np.ndarray:
         S = x.shape[-1]
         pad = (-S) % args.chunk
         xp = np.pad(x, [(0, 0), (0, pad)]) if pad else x
-        proc = factory(geom, angle, chunk_size=args.chunk, fs=fs, **kwargs)
+        proc = factory(sgeom, angle, chunk_size=args.chunk, fs=fs, **kwargs)
         y = np.asarray(proc.run(wav_chunks(xp, args.chunk)))[..., :S]
         report = proc.latency_report()
         lat_path = args.latency_json or (args.output + ".latency.json")

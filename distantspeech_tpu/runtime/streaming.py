@@ -314,6 +314,92 @@ def make_wpe_stream(
     return StreamingProcessor(step, init, chunk_size=chunk_size, fs=fs)
 
 
+def make_tdgsc_stream(
+    geometry, look_angle_deg=(197.0, 0.0), cfg=None, chunk_size: int = 1024, fs: int = 16000
+) -> "StreamingProcessor":
+    """Streaming time-domain GSC (reference TDGSC driven by the realtime
+    loop, TDGSC.py:110-172): DC notch + alignment FIR carries feeding
+    ``tdgsc_step``.  Chunk [M, chunk_size] in, [chunk_size] out."""
+    import jax.numpy as jnp
+
+    from distantspeech_tpu.adaptive.feature import dc_notch, dc_notch_init
+    from distantspeech_tpu.array.alignment import time_alignment_filters
+    from distantspeech_tpu.beamform.tdgsc import TdGscConfig, tdgsc_init, tdgsc_step
+    from distantspeech_tpu.ops.fir import fir_filter_block
+
+    if cfg is None:
+        cfg = TdGscConfig(n_mics=geometry.n_mics)
+    L = cfg.frame_len
+    if chunk_size % L != 0:
+        raise ValueError(f"chunk_size {chunk_size} must be a multiple of frame_len {L}")
+    M = cfg.n_mics
+    angle_rad = np.asarray(look_angle_deg, dtype=np.float64) / 180.0 * np.pi
+    coeffs = np.asarray(time_alignment_filters(geometry, angle_rad), dtype=np.float32)
+    J = chunk_size // L
+
+    def step(state, x_chunk):
+        dc, cache, ts = state
+        dc, xn = dc_notch(dc, x_chunk, radius=0.98)
+        cache, aligned = fir_filter_block(cache, xn, jnp.asarray(coeffs))
+        fbf = jnp.mean(aligned, axis=-2)
+        bm = aligned[:-1] - aligned[1:]
+        fb = fbf.reshape(J, L)
+        bb = jnp.moveaxis(bm.reshape(M - 1, J, L), 1, 0)  # [J, M-1, L]
+        ts, (out, _) = jax.lax.scan(lambda s, blk: tdgsc_step(cfg, s, blk[0], blk[1]), ts, (fb, bb))
+        return (dc, cache, ts), out.reshape(-1)
+
+    init = jax.jit(lambda: (
+        dc_notch_init((M,)),
+        jnp.zeros((M, coeffs.shape[-1] - 1), jnp.float32),
+        tdgsc_init(cfg),
+    ))()
+    return StreamingProcessor(step, init, chunk_size=chunk_size, fs=fs)
+
+
+def make_full_stack_stream(
+    geometry, look_angle_deg=(197.0, 0.0), cfg=None, chunk_size: int = 1024, fs: int = 16000
+) -> "StreamingProcessor":
+    """Streaming FULL stack — BASELINE config 5: AEC (MDF two-path) per mic
+    + dual-mic KWS tap + TDGSC + OMLSA postfilter, one carry, one jitted
+    chunk step (the reference's realtime loop drives any method the same
+    way, realtime_processing.py:78-84).
+
+    Chunk layout [M + 1, chunk_size]: rows 0..M-1 are the microphones, the
+    LAST row is the far-end playback reference (the echo path input the
+    offline driver takes as a separate argument).  Output [chunk_size] is
+    the enhanced signal; the KWS-cleaned tap rides along in the carry's
+    last output and can be recovered via a custom sink if needed."""
+    import jax.numpy as jnp
+
+    from distantspeech_tpu.array.alignment import time_alignment_filters
+    from distantspeech_tpu.runtime.full_stack import (
+        FullStackConfig, full_stack_init, full_stack_step,
+    )
+
+    if cfg is None:
+        cfg = FullStackConfig(n_mics=geometry.n_mics)
+    L = cfg.frame_len
+    if chunk_size % L != 0:
+        raise ValueError(f"chunk_size {chunk_size} must be a multiple of frame_len {L}")
+    M = cfg.n_mics
+    angle_rad = np.asarray(look_angle_deg, dtype=np.float64) / 180.0 * np.pi
+    coeffs_np = np.asarray(time_alignment_filters(geometry, angle_rad), dtype=np.float32)
+    J = chunk_size // L
+
+    def step(state, chunk):
+        x, far = chunk[:-1], chunk[-1]
+        xb = jnp.moveaxis(x.reshape(M, J, L), 1, 0)  # [J, M, L]
+        fb = far.reshape(J, L)
+        state, (out, _, _) = jax.lax.scan(
+            lambda s, blk: full_stack_step(cfg, jnp.asarray(coeffs_np), s, blk[0], blk[1]),
+            state, (xb, fb),
+        )
+        return state, out.reshape(-1)
+
+    init = jax.jit(lambda: full_stack_init(cfg, coeffs_np))()
+    return StreamingProcessor(step, init, chunk_size=chunk_size, fs=fs)
+
+
 #: pipeline-name -> stream factory; the CLI's --stream resolves here (the
 #: reference's realtime_processing drives *any* EnhancementMethod,
 #: realtime/realtime_processing.py:78-84 — this registry is that contract).
@@ -323,6 +409,8 @@ STREAM_FACTORIES = {
     "fdgsc": make_fdgsc_stream,
     "subband_gsc": make_subband_gsc_stream,
     "wpe": make_wpe_stream,
+    "tdgsc": make_tdgsc_stream,
+    "full_stack": make_full_stack_stream,
 }
 
 

@@ -204,3 +204,43 @@ def test_streaming_wpe_matches_offline():
     n = min(len(got), len(want))
     scale = max(np.max(np.abs(want)), 1e-9)
     np.testing.assert_allclose(got[:n], want[:n], atol=1e-4 * scale)
+
+
+def test_streaming_tdgsc_matches_offline():
+    from distantspeech_tpu.beamform.tdgsc import TdGscConfig, tdgsc_process
+    from distantspeech_tpu.runtime.streaming import make_tdgsc_stream
+
+    geom = ArrayGeometry.linear(4, 0.032)
+    cfg = TdGscConfig(n_mics=4)
+    rng = np.random.default_rng(12)
+    chunk, n_chunks = 1024, 4
+    x = (rng.standard_normal((4, chunk * n_chunks)) * 0.1).astype(np.float32)
+
+    proc = make_tdgsc_stream(geom, (197.0, 0.0), cfg, chunk_size=chunk)
+    got = proc.run(wav_chunks(x, chunk))
+    want = np.asarray(tdgsc_process(jnp.asarray(x), geom, cfg=cfg)[0])
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_streaming_full_stack_matches_offline():
+    """BASELINE config 5 actually STREAMS: chunk rows 0..M-1 mics + last row
+    far-end, output equals the offline composed stack frame-exactly."""
+    from distantspeech_tpu.runtime.full_stack import FullStackConfig, full_stack_process
+    from distantspeech_tpu.runtime.streaming import make_full_stack_stream
+
+    geom = ArrayGeometry.linear(4, 0.032)
+    cfg = FullStackConfig(n_mics=4)
+    rng = np.random.default_rng(13)
+    chunk, n_chunks = 1024, 4
+    S = chunk * n_chunks
+    far = (rng.standard_normal(S) * 0.3).astype(np.float32)
+    h = rng.standard_normal(64).astype(np.float32) * np.exp(-np.arange(64) / 12).astype(np.float32)
+    echo = np.convolve(far, h)[:S].astype(np.float32)
+    x = (0.1 * rng.standard_normal((4, S)) + echo[None, :]).astype(np.float32)
+
+    proc = make_full_stack_stream(geom, (197.0, 0.0), cfg, chunk_size=chunk)
+    stacked = np.concatenate([x, far[None, :]], axis=0)
+    got = proc.run(wav_chunks(stacked, chunk))
+    want = np.asarray(full_stack_process(jnp.asarray(x), jnp.asarray(far), geom, cfg=cfg)[0])
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert proc.latency_report()["chunks"] == n_chunks
