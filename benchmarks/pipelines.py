@@ -106,6 +106,8 @@ def main():
         "tdgsc_fused_4mic": (
             lambda x: tdgsc_process(x, geom4, ang, TdGscConfig(n_mics=4), backend="fused")[0], mk_x(4)),
         "fdgsc_4mic": (lambda x: fdgsc_process(x, geom4, ang, FdGscConfig(n_mics=4))[0], mk_x(4)),
+        "fdgsc_fused_4mic": (
+            lambda x: fdgsc_process(x, geom4, ang, FdGscConfig(n_mics=4), backend="fused")[0], mk_x(4)),
         "wpe_2mic": (lambda x: wpe_process(x, WpeConfig(n_channels=2)), mk_x(2)),
         "kws_2mic": (lambda x: kws_process(x, DualMicKwsConfig()), mk_x(2)),
         "binaural_2mic": (lambda x: binaural_process(x, geom2, BinauralConfig())[0], mk_x(2)),

@@ -334,3 +334,269 @@ def fused_tdgsc(
         [p_main, jnp.full((*p_main.shape[:-1], 1), mc.p_min, p_main.dtype)], axis=-1
     )
     return out, p_full, bm
+
+
+def _fdgsc_kernel(
+    sig_ref, halo_ref, dbm_ref, daic_ref, yp_ref, sf_ref, cs_ref, ab_ref, ub_ref,  # inputs
+    e_ref, p_ref, bm_ref,  # outputs
+    Zr, Zi, Wbm, Waic, Pbm, Pnbm, Paic, Pnaic, Eprev, S, Smin, Stmp, Pp, Lam,  # scratch
+    *, Tc: int, M: int, fl: int, hop: int, Lf: int,
+    mu_bm: float, mu_aic: float, alpha: float, maxnorm: float, sub: int,
+    L: int, alpha_s: float, alpha_p: float, alpha_d: float, delta_s: float,
+    p_min: float, p_max: float,
+):
+    """FDGSC core (FDGSC.py:201-317): per-frame MCRA(L=60) on the raw
+    reference channel with the returned-p low-bin pinning quirk
+    (:241-253), M CCAF-clamped single-channel BM FLMS filters sharing the
+    FBF spectrum (:255-262, p=1), and a norm-constrained multichannel AIC
+    FLMS stepped by the scalar 1 - mean(p_ret) (:275-281).
+
+    Filter state is time-domain taps, so the BM clamp (gsc_bm.py:92-106),
+    the last-hop zeroing and the AIC norm ceiling (gsc_aic.py:84-97,
+    computed exactly from the full-support update via Parseval) are
+    VPU-side ops; the per-frame transforms are 9 small in-VMEM dots."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        for ref in (Wbm, Waic, Pbm, Pnbm, Paic, Pnaic, Eprev, S, Smin, Stmp, Pp, Lam):
+            ref[...] = jnp.zeros_like(ref)
+
+    # FBF spectra for every frame of the chunk (input-only)
+    _bulk_analysis(sig_ref, halo_ref, cs_ref, Zr, Zi, 1, Tc, sub, hop, fl)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (sub, fl), 1)
+    interior = lane >= 1
+    mask0 = lane == 0
+    low32 = lane < 32
+    mid = (lane >= 32) & (lane < 128)
+    sgn = 1.0 - 2.0 * (jax.lax.broadcasted_iota(jnp.int32, (sub, Lf), 1) % 2).astype(jnp.float32)
+    chunk_base = pl.program_id(1) * Tc
+
+    def frame(t, _):
+        tg = chunk_base + t
+        p_out, _, _ = _mcra_frame(
+            tg, yp_ref[t, 0], sf_ref[t, 0], S, Smin, Stmp, Pp, Lam, interior,
+            mask0, L=L, alpha_s=alpha_s, alpha_p=alpha_p, alpha_d=alpha_d,
+            delta_s=delta_s, p_min=p_min, p_max=p_max,
+        )
+        # returned-p mutation (FDGSC.py:249-253): pin the low 32 bins when
+        # the 32..127 mid-band mean exceeds 0.8
+        mid_mean = jnp.sum(jnp.where(mid, p_out, 0.0), axis=1, keepdims=True) / 96.0
+        p_ret = jnp.where(low32 & (mid_mean > 0.8), jnp.maximum(p_out, 0.8), p_out)
+        p_ref[t, 0] = p_ret
+        # AIC stepsize: 1 - mean over ALL half_bin bins incl. the Nyquist
+        # p (pinned at p_min, held in the companion column outside)
+        gate = 1.0 - (jnp.sum(p_ret, axis=1, keepdims=True) + p_min) / float(fl + 1)
+
+        xr, xi = Zr[0, t], Zi[0, t]
+        ypow = xr * xr + jnp.where(mask0, 0.0, xi * xi)
+        Pbm_c = jnp.maximum(alpha * Pbm[...] + (1.0 - alpha) * ypow, 1e-4)
+        Pnbm_c = jnp.maximum(alpha * Pnbm[...] + (1.0 - alpha) * xi * xi, 1e-4)
+        Pbm[...] = Pbm_c
+        Pnbm[...] = Pnbm_c
+        Pbm_i = jnp.where(mask0, Pnbm_c, Pbm_c)
+
+        # ---- blocking matrix: M single-channel FLMS sharing X ------------
+        Wz = _dot(Wbm[...].reshape(M * sub, Lf), cs_ref[:Lf]).reshape(M, sub, 2 * fl)
+        Ybm = []
+        for m in range(M):
+            yr, yi = _cmul_acc(xr, xi, Wz[m, :, :fl], Wz[m, :, fl:], mask0)
+            Ybm.append(jnp.concatenate([yr, yi], axis=-1))
+        y_bm = _dot(jnp.concatenate(Ybm, axis=0), ab_ref[:, hop:]).reshape(M, sub, hop)
+        e_bm = dbm_ref[t, 0] - y_bm  # [M, sub, hop] — the BM output
+        bm_ref[t, 0] = e_bm
+
+        Ez = _dot(e_bm.reshape(M * sub, hop), cs_ref[hop:]).reshape(M, sub, 2 * fl)
+        G = []
+        for m in range(M):
+            gr, gi = _cmul_conj(xr, xi, Ez[m, :, :fl], Ez[m, :, fl:], mask0)
+            G.append(jnp.concatenate([gr / Pbm_c, gi / Pbm_i], axis=-1))
+        g_t = _dot(jnp.concatenate(G, axis=0), ab_ref[:, :Lf]).reshape(M, sub, Lf)
+        # W += mu*grad (p=1, gsc_bm.py:90), then the CCAF clamp on the first
+        # n_fft/2 taps + last-hop zeroing — pure tap-space ops here
+        Wbm[...] = jnp.clip(Wbm[...] + mu_bm * g_t, -0.001, ub_ref[...])
+
+        # ---- AIC: multichannel FLMS on the BM outputs --------------------
+        # state-dependent input: buf_m = [e_prev_m, e_bm_m]
+        a1 = Eprev[...].reshape(M * sub, hop)
+        a2 = e_bm.reshape(M * sub, hop)
+        Za = (_dot(a1, cs_ref[:hop]) + _dot(a2, cs_ref[hop:])).reshape(M, sub, 2 * fl)
+        Eprev[...] = e_bm
+
+        pw = jnp.zeros((sub, fl), jnp.float32)
+        pwn = jnp.zeros((sub, fl), jnp.float32)
+        Wza = _dot(Waic[...].reshape(M * sub, Lf), cs_ref[:Lf]).reshape(M, sub, 2 * fl)
+        Yr = jnp.zeros((sub, fl), jnp.float32)
+        Yi = jnp.zeros((sub, fl), jnp.float32)
+        for m in range(M):
+            ar, ai = Za[m, :, :fl], Za[m, :, fl:]
+            yr, yi = _cmul_acc(ar, ai, Wza[m, :, :fl], Wza[m, :, fl:], mask0)
+            Yr, Yi = Yr + yr, Yi + yi
+            pw = pw + ar * ar + jnp.where(mask0, 0.0, ai * ai)
+            pwn = pwn + ai * ai
+        Paic_c = jnp.maximum(alpha * Paic[...] + (1.0 - alpha) * pw, 1e-4)
+        Pnaic_c = jnp.maximum(alpha * Pnaic[...] + (1.0 - alpha) * pwn, 1e-4)
+        Paic[...] = Paic_c
+        Pnaic[...] = Pnaic_c
+        Paic_i = jnp.where(mask0, Pnaic_c, Paic_c)
+
+        y = _dot(jnp.concatenate([Yr, Yi], axis=-1), ab_ref[:, hop:])
+        e = daic_ref[t, 0] - y
+        e_ref[t, 0] = e
+
+        Eza = _dot(e, cs_ref[hop:])
+        Er, Ei = Eza[:, :fl], Eza[:, fl:]
+        Ga = []
+        for m in range(M):
+            ar, ai = Za[m, :, :fl], Za[m, :, fl:]
+            gr, gi = _cmul_conj(ar, ai, Er, Ei, mask0)
+            Ga.append(jnp.concatenate([gr / Paic_c, gi / Paic_i], axis=-1))
+        # full-support time gradient: the norm ceiling needs the HALF-
+        # spectrum power of the UPDATED, unconstrained filter
+        # (gsc_aic.py:84-97); via Parseval on the full 2L support:
+        # sum_half |W_k|^2 = (n_fft*sum_n w_n^2 + W_0^2 + W_Nyq^2) / 2
+        gt_full = _dot(jnp.concatenate(Ga, axis=0), ab_ref[...]).reshape(M, sub, 2 * Lf)
+        w_upd_head = Waic[...] + (mu_aic * gate)[None, :, :] * gt_full[:, :, :Lf]
+        w_upd_tail = (mu_aic * gate)[None, :, :] * gt_full[:, :, Lf:]
+        ssq = jnp.sum(w_upd_head * w_upd_head, axis=(0, 2)) + jnp.sum(w_upd_tail * w_upd_tail, axis=(0, 2))  # [sub]
+        w0 = jnp.sum(w_upd_head, axis=(0, 2)) + jnp.sum(w_upd_tail, axis=(0, 2))
+        wn = jnp.sum(w_upd_head * sgn[None], axis=(0, 2)) + jnp.sum(w_upd_tail * sgn[None], axis=(0, 2))
+        n_fft = 2.0 * Lf
+        norm = ((n_fft * ssq + w0 * w0 + wn * wn) / 2.0) / n_fft / n_fft  # [sub]
+        scale = jnp.where(norm > maxnorm, jnp.sqrt(maxnorm / jnp.maximum(norm, 1e-30)), 1.0)
+        Waic[...] = w_upd_head * scale[None, :, None]
+        return 0
+
+    jax.lax.fori_loop(0, Tc, frame, 0)
+
+
+def fused_fdgsc(
+    x: jnp.ndarray,
+    geometry,
+    angle_rad=(197.0 / 180.0 * np.pi, 0.0),
+    cfg=None,
+    dc_notch_input: bool = True,
+    interpret: bool = None,
+    t_chunk: int = None,
+    sub: int = _SUB,
+):
+    """Fused FDGSC: same signature/returns as ``beamform.fdgsc.fdgsc_process``
+    — (out [B, S'], p [B, T, F], bm [B, M, S']).  x: [B, M, S], B % sub == 0."""
+    from distantspeech_tpu.adaptive.feature import dc_notch, dc_notch_init
+    from distantspeech_tpu.array.alignment import time_alignment_filters
+    from distantspeech_tpu.beamform.fdgsc import FdGscConfig
+    from distantspeech_tpu.beamform.gsc_filters import bm_bounds
+    from distantspeech_tpu.noise.mcra import _freq_smooth
+    from distantspeech_tpu.ops.fir import fir_filter_offline
+    from distantspeech_tpu.transform.stft import stft_frames
+
+    if cfg is None:
+        cfg = FdGscConfig()
+    if cfg.postfilter:
+        raise ValueError("fused_fdgsc implements the postfilter=False core")
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    if x.ndim != 3 or x.shape[0] % sub:
+        raise ValueError(f"fused_fdgsc needs x [B, M, S] with B % {sub} == 0, got {x.shape}")
+    Lf = cfg.frame_len
+    hop, n_fft = Lf, 2 * Lf
+    fl = n_fft // 2
+    if fl % 128:
+        raise ValueError(f"fused_fdgsc needs frame_len % 128 == 0, got {Lf}")
+    B, M, Sx = x.shape
+    T = Sx // Lf
+    x = x[..., : T * Lf]
+    nb = B // sub
+    mc = cfg.mcra
+
+    if dc_notch_input:
+        _, x = dc_notch(dc_notch_init(x.shape[:-1], dtype=x.dtype), x, radius=0.98)
+    coeffs = jnp.asarray(np.asarray(time_alignment_filters(geometry, angle_rad)), dtype=x.dtype)
+    aligned = fir_filter_offline(x, coeffs)
+    fbf = jnp.mean(aligned, axis=-2)
+
+    # MCRA input: windowed STFT power of the RAW (notched) reference channel
+    x0_pad = jnp.pad(x[:, 0], [(0, 0), (cfg.stft.overlap, 0)])
+    D = stft_frames(x0_pad, cfg.stft)
+    power = jnp.real(D) ** 2 + jnp.imag(D) ** 2
+    Sf = _freq_smooth(power, mc.b)[..., :fl]
+    Yp = power[..., :fl]
+
+    # causality delays (FDGSC.py:92-95): aligned by L/2, FBF by L
+    aligned_d = jnp.pad(aligned, [(0, 0), (0, 0), (Lf // 2, 0)])[..., : T * Lf]
+    fbf_d = jnp.pad(fbf, [(0, 0), (Lf, 0)])[..., : T * Lf]
+
+    tc = t_chunk or _pick_t_chunk(T, 16) or 16
+    Tp = -(-T // tc) * tc
+
+    def tiles3(a, last):  # [B, T, last] -> [Tp, nb, sub, last]
+        a = jnp.moveaxis(a, 1, 0)
+        if Tp != T:
+            a = jnp.pad(a, [(0, Tp - T), (0, 0), (0, 0)])
+        return a.reshape(Tp, nb, sub, last)
+
+    def tiles4(a):  # [B, M, T, hop] -> [Tp, nb, M, sub, hop]
+        a = jnp.transpose(a, (2, 1, 0, 3))  # [T, M, B, hop]
+        if Tp != T:
+            a = jnp.pad(a, [(0, Tp - T), (0, 0), (0, 0), (0, 0)])
+        return a.reshape(Tp, M, nb, sub, hop).swapaxes(1, 2)
+
+    dbm_in = tiles4(aligned_d.reshape(B, M, T, Lf))
+    daic_in = tiles3(fbf_d.reshape(B, T, Lf), Lf)
+    yp_in = tiles3(Yp, fl)
+    sf_in = tiles3(Sf, fl)
+
+    fbfp = jnp.pad(fbf, [(0, 0), (hop, 0)]).reshape(B, 1, T + 1, hop)
+    if Tp != T:
+        fbfp = jnp.pad(fbfp, [(0, 0), (0, 0), (0, Tp - T), (0, 0)])
+    sig = jnp.transpose(fbfp, (2, 1, 0, 3))  # [Tp+1, 1, B, hop]
+
+    CS, AB = (m.astype(np.float32) for m in plain_dft_packed(n_fft))
+    ub = np.broadcast_to(bm_bounds(n_fft).astype(np.float32), (M, sub, Lf)).copy()
+
+    bm_cfg, aic_cfg = cfg.bm, cfg.aic
+    kern = partial(
+        _fdgsc_kernel, Tc=tc, M=M, fl=fl, hop=hop, Lf=Lf,
+        mu_bm=bm_cfg.mu, mu_aic=aic_cfg.mu, alpha=bm_cfg.alpha, maxnorm=0.003, sub=sub,
+        L=mc.L, alpha_s=mc.alpha_s, alpha_p=mc.alpha_p, alpha_d=mc.alpha_d,
+        delta_s=mc.delta_s, p_min=mc.p_min, p_max=mc.p_max,
+    )
+    sig_spec = pl.BlockSpec((tc, 1, sub, hop), lambda n, t: (t, 0, n, 0), memory_space=pltpu.VMEM)
+    halo_spec = pl.BlockSpec((1, 1, sub, hop), lambda n, t: (t * tc + tc, 0, n, 0), memory_space=pltpu.VMEM)
+    tile = lambda last: pl.BlockSpec((tc, 1, sub, last), lambda n, t: (t, n, 0, 0), memory_space=pltpu.VMEM)
+    tile_m = pl.BlockSpec((tc, 1, M, sub, hop), lambda n, t: (t, n, 0, 0, 0), memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda n, t: (0,) * len(shape), memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((1, tc, sub, fl), jnp.float32),  # Zr (fbf)
+        pltpu.VMEM((1, tc, sub, fl), jnp.float32),  # Zi
+        pltpu.VMEM((M, sub, Lf), jnp.float32),  # Wbm
+        pltpu.VMEM((M, sub, Lf), jnp.float32),  # Waic
+    ] + [pltpu.VMEM((sub, fl), jnp.float32)] * 4 + [
+        pltpu.VMEM((M, sub, hop), jnp.float32),  # Eprev
+    ] + [pltpu.VMEM((sub, fl), jnp.float32)] * 5
+    params = None if interpret else pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary")
+    )
+    e_out, p_out, bm_out = pl.pallas_call(
+        kern,
+        grid=(nb, Tp // tc),
+        in_specs=[sig_spec, halo_spec, tile_m, tile(Lf), tile(fl), tile(fl),
+                  const(CS.shape), const(AB.shape), const(ub.shape)],
+        out_specs=[tile(hop), tile(fl), tile_m],
+        out_shape=[
+            jax.ShapeDtypeStruct((Tp, nb, sub, hop), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, nb, sub, fl), jnp.float32),
+            jax.ShapeDtypeStruct((Tp, nb, M, sub, hop), jnp.float32),
+        ],
+        scratch_shapes=scratch,
+        interpret=interpret,
+        **({} if params is None else {"compiler_params": params}),
+    )(sig, sig, dbm_in, daic_in, yp_in, sf_in, jnp.asarray(CS), jnp.asarray(AB), jnp.asarray(ub))
+
+    out = jnp.moveaxis(e_out[:T].reshape(T, B, Lf), 0, 1).reshape(B, T * Lf)
+    p_main = jnp.moveaxis(p_out[:T].reshape(T, B, fl), 0, 1)
+    p_full = jnp.concatenate(
+        [p_main, jnp.full((*p_main.shape[:-1], 1), mc.p_min, p_main.dtype)], axis=-1
+    )
+    bm = jnp.transpose(bm_out[:T], (1, 3, 2, 0, 4)).reshape(B, M, T * Lf)
+    return out, p_full, bm

@@ -72,3 +72,30 @@ def test_fused_tdgsc_rejects_bad_shapes():
         fused_tdgsc(_scene(B=3), geom, ANG, TdGscConfig(), interpret=True)
     with pytest.raises(ValueError):
         fused_tdgsc(_scene(), geom, ANG, TdGscConfig(postfilter=True), interpret=True)
+
+
+def test_fused_fdgsc_matches_scan():
+    from distantspeech_tpu.beamform.fdgsc import FdGscConfig, fdgsc_process
+
+    x = _scene(S=256 * 20, seed=2)
+    geom = ArrayGeometry.linear(4, 0.032)
+    cfg = FdGscConfig(n_mics=4)
+    o1, p1, bm1 = fdgsc_process(x, geom, ANG, cfg)
+    o2, p2, bm2 = fdgsc_process(x, geom, ANG, cfg, backend="fused")
+    scale = np.max(np.abs(np.asarray(o1))) + 1e-12
+    assert np.max(np.abs(np.asarray(o1) - np.asarray(o2))) / scale < 1e-5
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
+    bscale = np.max(np.abs(np.asarray(bm1))) + 1e-12
+    assert np.max(np.abs(np.asarray(bm1) - np.asarray(bm2))) / bscale < 1e-5
+
+
+def test_fused_fdgsc_chunking_invariance():
+    from distantspeech_tpu.beamform.fdgsc import FdGscConfig
+    from distantspeech_tpu.ops.pallas_flms import fused_fdgsc
+
+    x = _scene(S=256 * 10, seed=3)
+    geom = ArrayGeometry.linear(4, 0.032)
+    cfg = FdGscConfig(n_mics=4)
+    a = fused_fdgsc(x, geom, ANG, cfg, interpret=True, t_chunk=10)[0]
+    b = fused_fdgsc(x, geom, ANG, cfg, interpret=True, t_chunk=4)[0]  # padded
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
