@@ -106,6 +106,61 @@ def _bulk_analysis(sig_ref, halo_ref, cs_ref, Zr, Zi, C, Tc, sub, hop, fl):
         Zi[c] = z[:, :, fl:]
 
 
+def _flms_gated_frame(
+    t, Zr, Zi, Wt, Pm, Pn, cs_ref, ab_ref, d_t, gate_r, gate_i, mask0, edge,
+    C, sub, fl, hop, Lf, mu, alpha,
+):
+    """One frame of the non-causal, fir_truncated, per-bin-gated FLMS AIC
+    (FastFreqLms.update, FastFreqLms.py:202-286, as driven by TDGSC.py:150):
+    6 small in-VMEM dots, tap-space filter state.  Returns e [sub, hop]."""
+    Wz = _dot(Wt[...].reshape(C * sub, Lf), cs_ref[:Lf]).reshape(C, sub, 2 * fl)
+
+    Yr = jnp.zeros((sub, fl), jnp.float32)
+    Yi = jnp.zeros((sub, fl), jnp.float32)
+    pw = jnp.zeros((sub, fl), jnp.float32)
+    pwn = jnp.zeros((sub, fl), jnp.float32)
+    for c in range(C):
+        xr, xi = Zr[c, t], Zi[c, t]
+        yr, yi = _cmul_acc(xr, xi, Wz[c, :, :fl], Wz[c, :, fl:], mask0)
+        Yr, Yi = Yr + yr, Yi + yi
+        pw = pw + xr * xr + jnp.where(mask0, 0.0, xi * xi)
+        pwn = pwn + xi * xi
+    # power recursion with the stored clamp (FastFreqLms.py:189)
+    Pmc = jnp.maximum(alpha * Pm[...] + (1.0 - alpha) * pw, 1e-4)
+    Pnc = jnp.maximum(alpha * Pn[...] + (1.0 - alpha) * pwn, 1e-4)
+    Pm[...] = Pmc
+    Pn[...] = Pnc
+
+    y = _dot(jnp.concatenate([Yr, Yi], axis=-1), ab_ref[:, hop:])
+    e = d_t - y
+
+    Ez = _dot(e, cs_ref[hop:])  # rdft of front-zero-padded error
+    Er, Ei = Ez[:, :fl], Ez[:, fl:]
+    Pdi = jnp.where(mask0, Pnc, Pmc)
+
+    G = []
+    for c in range(C):
+        xr, xi = Zr[c, t], Zi[c, t]
+        gr, gi = _cmul_conj(xr, xi, Er, Ei, mask0)
+        G.append(jnp.concatenate([gr / Pmc, gi / Pdi], axis=-1))
+    Gflat = jnp.concatenate(G, axis=0)  # [C*sub, 2fl]
+
+    # gradient constraint (FastFreqLms.py:194-200): keep the first
+    # n_fft - hop = Lf time samples, then regate per-bin and return to
+    # time for the update (fir_truncate makes the Lf-tap truncation of
+    # the update exact: W is re-derived from w[:Lf] every frame)
+    g_t = _dot(Gflat, ab_ref[:, :Lf])
+    Gc = _dot(g_t, cs_ref[:Lf]).reshape(C, sub, 2 * fl)
+    U = [
+        jnp.concatenate([Gc[c, :, :fl] * gate_r, Gc[c, :, fl:] * gate_i], axis=-1)
+        for c in range(C)
+    ]
+    u = _dot(jnp.concatenate(U, axis=0), ab_ref[:, :Lf])  # [C*sub, Lf]
+    w_new = Wt[...].reshape(C * sub, Lf) + 2.0 * mu * u
+    Wt[...] = jnp.where(edge, w_new, 0.0).reshape(C, sub, Lf)
+    return e
+
+
 def _tdgsc_kernel(
     sig_ref, halo_ref, d_ref, yp_ref, sf_ref, cs_ref, ab_ref,  # inputs
     e_ref, p_ref,  # outputs
@@ -146,65 +201,15 @@ def _tdgsc_kernel(
         )
         gate_r = 1.0 - p_out  # per-bin stepsize (TDGSC.py:150)
         gate_i = jnp.where(mask0, 1.0 - p_min, gate_r)  # Nyquist p pinned
+        p_ref[t, 0] = p_out
         if not _stages & 1:  # profiling: MCRA only
             e_ref[t, 0] = d_ref[t, 0] + p_out[:, :hop]
-            p_ref[t, 0] = p_out
             return 0
-
-        # filter spectrum from time-domain taps (support = first Lf samples)
-        Wz = _dot(Wt[...].reshape(C * sub, Lf), cs_ref[:Lf]).reshape(C, sub, 2 * fl)
-
-        Yr = jnp.zeros((sub, fl), jnp.float32)
-        Yi = jnp.zeros((sub, fl), jnp.float32)
-        pw = jnp.zeros((sub, fl), jnp.float32)
-        pwn = jnp.zeros((sub, fl), jnp.float32)
-        for c in range(C):
-            xr, xi = Zr[c, t], Zi[c, t]
-            yr, yi = _cmul_acc(xr, xi, Wz[c, :, :fl], Wz[c, :, fl:], mask0)
-            Yr, Yi = Yr + yr, Yi + yi
-            pw = pw + xr * xr + jnp.where(mask0, 0.0, xi * xi)
-            pwn = pwn + xi * xi
-        # power recursion with the stored clamp (FastFreqLms.py:189)
-        Pmc = jnp.maximum(alpha * Pm[...] + (1.0 - alpha) * pw, 1e-4)
-        Pnc = jnp.maximum(alpha * Pn[...] + (1.0 - alpha) * pwn, 1e-4)
-        Pm[...] = Pmc
-        Pn[...] = Pnc
-
-        y = _dot(jnp.concatenate([Yr, Yi], axis=-1), ab_ref[:, hop:])
-        e = d_ref[t, 0] - y
+        e = _flms_gated_frame(
+            t, Zr, Zi, Wt, Pm, Pn, cs_ref, ab_ref, d_ref[t, 0], gate_r, gate_i,
+            mask0, edge, C, sub, fl, hop, Lf, mu, alpha,
+        )
         e_ref[t, 0] = e
-        p_ref[t, 0] = p_out
-
-        if not _stages & 2:  # profiling: forward only, no adaptation
-            return 0
-        Ez = _dot(e, cs_ref[hop:])  # rdft of front-zero-padded error
-        Er, Ei = Ez[:, :fl], Ez[:, fl:]
-        Pdi = jnp.where(mask0, Pnc, Pmc)
-
-        G = []
-        for c in range(C):
-            xr, xi = Zr[c, t], Zi[c, t]
-            gr, gi = _cmul_conj(xr, xi, Er, Ei, mask0)
-            G.append(jnp.concatenate([gr / Pmc, gi / Pdi], axis=-1))
-        Gflat = jnp.concatenate(G, axis=0)  # [C*sub, 2fl]
-
-        if not _stages & 4:  # profiling: ungated unconstrained update
-            u0 = _dot(Gflat, ab_ref[:, :Lf])
-            Wt[...] = jnp.where(edge, Wt[...].reshape(C * sub, Lf) + 2.0 * mu * u0, 0.0).reshape(C, sub, Lf)
-            return 0
-        # gradient constraint (FastFreqLms.py:194-200): keep the first
-        # n_fft - hop = Lf time samples, then regate per-bin and return to
-        # time for the update (fir_truncate makes the Lf-tap truncation of
-        # the update exact: W is re-derived from w[:Lf] every frame)
-        g_t = _dot(Gflat, ab_ref[:, :Lf])
-        Gc = _dot(g_t, cs_ref[:Lf]).reshape(C, sub, 2 * fl)
-        U = [
-            jnp.concatenate([Gc[c, :, :fl] * gate_r, Gc[c, :, fl:] * gate_i], axis=-1)
-            for c in range(C)
-        ]
-        u = _dot(jnp.concatenate(U, axis=0), ab_ref[:, :Lf])  # [C*sub, Lf]
-        w_new = Wt[...].reshape(C * sub, Lf) + 2.0 * mu * u
-        Wt[...] = jnp.where(edge, w_new, 0.0).reshape(C, sub, Lf)
         return 0
 
     jax.lax.fori_loop(0, Tc, frame, 0, unroll=unroll)
@@ -238,9 +243,6 @@ def fused_tdgsc(
         cfg = TdGscConfig()
     if interpret is None:  # Mosaic only exists on TPU; interpret elsewhere
         interpret = jax.devices()[0].platform != "tpu"
-    if cfg.postfilter:
-        raise ValueError("fused_tdgsc implements the postfilter=False core; "
-                         "apply OMLSA via the bulk STFT round-trip outside")
     if x.ndim != 3 or x.shape[0] % sub:
         raise ValueError(f"fused_tdgsc needs x [B, M, S] with B % {sub} == 0, got {x.shape}")
     acfg = cfg.aic
@@ -314,19 +316,83 @@ def fused_tdgsc(
     params = None if interpret else pltpu.CompilerParams(
         dimension_semantics=("parallel", "arbitrary")
     )
-    e_out, p_out = pl.pallas_call(
-        kern,
-        grid=(nb, Tp // tc),
-        in_specs=[sig_spec, halo_spec, tile(Lf), tile(fl), tile(fl), const(CS.shape), const(AB.shape)],
-        out_specs=[tile(hop), tile(fl)],
-        out_shape=[
-            jax.ShapeDtypeStruct((Tp, nb, sub, hop), jnp.float32),
-            jax.ShapeDtypeStruct((Tp, nb, sub, fl), jnp.float32),
-        ],
-        scratch_shapes=scratch,
-        interpret=interpret,
-        **({} if params is None else {"compiler_params": params}),
-    )(sig, sig, d_in, yp_in, sf_in, jnp.asarray(CS), jnp.asarray(AB))
+
+    if cfg.postfilter:
+        # OMLSA-multi fused in: windowed BM reference powers ride in as bulk
+        # inputs; the beam spectrum, (1+C) MCRA trackers, TBRR gain and the
+        # windowed ISTFT run in-loop (_tdgsc_pf_kernel)
+        Ubm = stft_frames(jnp.pad(bm, [(0, 0), (0, 0), (cfg.stft.overlap, 0)]), cfg.stft)
+        u_pow = jnp.real(Ubm) ** 2 + jnp.imag(Ubm) ** 2  # [B, C, T, F]
+        up = jnp.transpose(u_pow[..., :fl], (2, 1, 0, 3))  # [T, C, B, fl]
+        if Tp != T:
+            up = jnp.pad(up, [(0, Tp - T), (0, 0), (0, 0), (0, 0)])
+        up_in = up.reshape(Tp, C, nb, sub, fl).swapaxes(1, 2)  # [Tp, nb, C, sub, fl]
+        un = jnp.moveaxis(u_pow[..., fl], -1, 0)  # [T, B, C] Nyquist powers
+        un = jnp.pad(un, [(0, Tp - T), (0, 0), (0, 0)]) if Tp != T else un
+        un_in = jnp.pad(un.reshape(Tp, nb, sub, C), [(0, 0)] * 3 + [(0, fl - C)])
+
+        CSW, ABW = (m.astype(np.float32) for m in windowed_dft_packed(cfg.stft.n_fft, cfg.stft.hop))
+        om = cfg.omlsa
+        omc = om.mcra
+        pf_kern = partial(
+            _tdgsc_pf_kernel, Tc=tc, C=C, fl=fl, hop=hop, Lf=Lf, ft=cfg.fir_truncate,
+            mu=acfg.mu, alpha=acfg.alpha, sub=sub,
+            L=mc.L, alpha_s=mc.alpha_s, alpha_p=mc.alpha_p, alpha_d=mc.alpha_d,
+            delta_s=mc.delta_s, p_min=mc.p_min, p_max=mc.p_max,
+            om_L=omc.L, om_alpha_s=omc.alpha_s, om_alpha_p=omc.alpha_p,
+            om_alpha_d=omc.alpha_d, om_delta_s=omc.delta_s, om_p_min=omc.p_min,
+            om_p_max=omc.p_max,
+            o_alpha_s=om.alpha_s, o_alpha_d=om.alpha_d, o_alpha_xi=om.alpha_xi,
+            o_beta=om.beta, o_bmin=om.Bmin, o_eps=om.eps_tbrr, o_gh=om.gamma_high,
+            o_gl=om.gamma_low, o_oh=om.omega_high, o_ol=om.omega_low,
+            o_qmin=om.q_min, o_qmax=om.q_max, o_gmin=om.gmin,
+        )
+        up_spec = pl.BlockSpec((tc, 1, C, sub, fl), lambda n, t: (t, n, 0, 0, 0), memory_space=pltpu.VMEM)
+        Mch = 1 + C
+        pf_scratch = scratch + [
+            pltpu.VMEM((Mch, sub, fl), jnp.float32),  # McS
+            pltpu.VMEM((Mch, sub, fl), jnp.float32),  # McSmin
+            pltpu.VMEM((Mch, sub, fl), jnp.float32),  # McStmp
+            pltpu.VMEM((Mch, sub, fl), jnp.float32),  # McP
+            pltpu.VMEM((Mch, sub, fl), jnp.float32),  # McLam
+            pltpu.VMEM((sub, fl), jnp.float32),  # ZetaY
+            pltpu.VMEM((C, sub, fl), jnp.float32),  # ZetaU
+            pltpu.VMEM((sub, fl), jnp.float32),  # OLam
+            pltpu.VMEM((sub, fl), jnp.float32),  # OGam
+            pltpu.VMEM((sub, fl), jnp.float32),  # OGH1
+            pltpu.VMEM((sub, 128), jnp.float32),  # NyS
+            pltpu.VMEM((sub, hop), jnp.float32),  # OutPrev
+            pltpu.VMEM((sub, hop), jnp.float32),  # OLAc
+        ]
+        e_out, p_out = pl.pallas_call(
+            pf_kern,
+            grid=(nb, Tp // tc),
+            in_specs=[sig_spec, halo_spec, tile(Lf), tile(fl), tile(fl), up_spec, tile(fl),
+                      const(CS.shape), const(AB.shape), const(CSW.shape), const(ABW.shape)],
+            out_specs=[tile(hop), tile(fl)],
+            out_shape=[
+                jax.ShapeDtypeStruct((Tp, nb, sub, hop), jnp.float32),
+                jax.ShapeDtypeStruct((Tp, nb, sub, fl), jnp.float32),
+            ],
+            scratch_shapes=pf_scratch,
+            interpret=interpret,
+            **({} if params is None else {"compiler_params": params}),
+        )(sig, sig, d_in, yp_in, sf_in, up_in, un_in,
+          jnp.asarray(CS), jnp.asarray(AB), jnp.asarray(CSW), jnp.asarray(ABW))
+    else:
+        e_out, p_out = pl.pallas_call(
+            kern,
+            grid=(nb, Tp // tc),
+            in_specs=[sig_spec, halo_spec, tile(Lf), tile(fl), tile(fl), const(CS.shape), const(AB.shape)],
+            out_specs=[tile(hop), tile(fl)],
+            out_shape=[
+                jax.ShapeDtypeStruct((Tp, nb, sub, hop), jnp.float32),
+                jax.ShapeDtypeStruct((Tp, nb, sub, fl), jnp.float32),
+            ],
+            scratch_shapes=scratch,
+            interpret=interpret,
+            **({} if params is None else {"compiler_params": params}),
+        )(sig, sig, d_in, yp_in, sf_in, jnp.asarray(CS), jnp.asarray(AB))
 
     out = jnp.moveaxis(e_out[:T].reshape(T, B, Lf), 0, 1).reshape(B, T * Lf)
     p_main = jnp.moveaxis(p_out[:T].reshape(T, B, fl), 0, 1)  # [B, T, fl]
@@ -600,3 +666,358 @@ def fused_fdgsc(
     )
     bm = jnp.transpose(bm_out[:T], (1, 3, 2, 0, 4)).reshape(B, M, T * Lf)
     return out, p_full, bm
+
+
+@lru_cache(maxsize=None)
+def windowed_dft_packed(n_fft: int, hop: int, fold_gain: bool = True):
+    """Packed sqrt-hann windowed analysis/synthesis matrices in the same
+    [re 0..fl-1 | re Nyquist | im 1..fl-1] layout as ``plain_dft_packed``
+    (exactly transform.stft's matrices, column/row-packed).  With
+    ``fold_gain`` the hop/W0 synthesis scale is folded into ABW — linear,
+    so scaling frames before overlap-add equals scaling after."""
+    from distantspeech_tpu.transform.stft import StftConfig, _dft_matrices, _idft_matrices
+
+    cfg = StftConfig(n_fft, hop)
+    fl = n_fft // 2
+    C, Sn = _dft_matrices(cfg)
+    CSW = np.concatenate([C, Sn[:, 1:fl]], axis=1)
+    A, Bm = _idft_matrices(cfg)
+    ABW = np.concatenate([A, Bm[1:fl]], axis=0)
+    if fold_gain:
+        ABW = ABW * cfg.synthesis_gain
+    return CSW, ABW
+
+
+class _Chan:
+    """Per-channel ref view so ``_mcra_frame`` (which reads/writes
+    ``ref[...]``) can run on one plane of an [M, sub, fl] scratch."""
+
+    def __init__(self, ref, m):
+        self.ref, self.m = ref, m
+
+    def __getitem__(self, idx):
+        return self.ref[self.m]
+
+    def __setitem__(self, idx, v):
+        self.ref[self.m] = v
+
+
+def _tdgsc_pf_kernel(
+    sig_ref, halo_ref, d_ref, yp_ref, sf_ref, up_ref, un_ref,  # inputs
+    cs_ref, ab_ref, csw_ref, abw_ref,  # constants
+    e_ref, p_ref,  # outputs
+    Zr, Zi, Wt, Pm, Pn, S, Smin, Stmp, Pp, Lam,  # TDGSC core scratch
+    McS, McSmin, McStmp, McP, McLam,  # OMLSA per-channel MCRA [1+C, sub, fl]
+    ZetaY, ZetaU, OLam, OGam, OGH1, NyS, OutPrev, OLAc,  # OMLSA + synthesis
+    *, Tc: int, C: int, fl: int, hop: int, Lf: int, ft: int,
+    mu: float, alpha: float, sub: int,
+    L: int, alpha_s: float, alpha_p: float, alpha_d: float, delta_s: float,
+    p_min: float, p_max: float,
+    om_L: int, om_alpha_s: float, om_alpha_p: float, om_alpha_d: float,
+    om_delta_s: float, om_p_min: float, om_p_max: float,
+    o_alpha_s: float, o_alpha_d: float, o_alpha_xi: float, o_beta: float,
+    o_bmin: float, o_eps: float, o_gh: float, o_gl: float, o_oh: float,
+    o_ol: float, o_qmin: float, o_qmax: float, o_gmin: float,
+):
+    """TDGSC with the OM-LSA-multi postfilter fused in (TDGSC.py:152-170 +
+    omlsa_multi.py:73-160): the AIC output and the BM references stream
+    through in-kernel windowed STFTs, (1+C) MCRA noise trackers, the TBRR
+    q-hat / decision-directed gain logic, and the windowed ISTFT
+    overlap-add — all per frame in VMEM.  The Nyquist bin's recursions ride
+    dedicated lane slots of ``NyS`` (its MCRA noise is the pinned
+    closed-form, mcra.py:73)."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        for ref in (Wt, Pm, Pn, S, Smin, Stmp, Pp, Lam,
+                    McS, McSmin, McStmp, McP, McLam, ZetaU, OLam, OutPrev, OLAc):
+            ref[...] = jnp.zeros_like(ref)
+        ZetaY[...] = jnp.ones_like(ZetaY)
+        OGam[...] = jnp.ones_like(OGam)
+        OGH1[...] = jnp.ones_like(OGH1)
+        ny_lane = jax.lax.broadcasted_iota(jnp.int32, NyS.shape, 1)
+        # lanes: 0 zetaY | 1..C zetaU | C+1 lam | C+2 gamma | C+3 G_H1
+        NyS[...] = jnp.where((ny_lane == 0) | (ny_lane == C + 2) | (ny_lane == C + 3), 1.0, 0.0)
+
+    _bulk_analysis(sig_ref, halo_ref, cs_ref, Zr, Zi, C, Tc, sub, hop, fl)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (sub, fl), 1)
+    interior = lane >= 1
+    mask0 = lane == 0
+    tlane = jax.lax.broadcasted_iota(jnp.int32, (C * sub, Lf), 1)
+    edge = (tlane >= ft) & (tlane < Lf - ft)
+    ny_lane = jax.lax.broadcasted_iota(jnp.int32, NyS.shape, 1)
+    chunk_base = pl.program_id(1) * Tc
+    log_gmin = float(np.log(o_gmin))
+    at0 = om_alpha_d + (1.0 - om_alpha_d) * om_p_min  # pinned-Nyquist MCRA pole
+
+    def smooth_zero(v, v_right_col):
+        """omlsa's zero-padded 3-tap smoothing on the main lanes; the
+        right neighbour of lane fl-1 is the Nyquist value."""
+        left = jnp.concatenate([jnp.zeros_like(v[:, :1]), v[:, :-1]], axis=1)
+        right = jnp.concatenate([v[:, 1:], v_right_col], axis=1)
+        return 0.25 * left + 0.5 * v + 0.25 * right
+
+    def frame(t, _):
+        tg = chunk_base + t
+        is_first = tg == 0
+        p_out, _, _ = _mcra_frame(
+            tg, yp_ref[t, 0], sf_ref[t, 0], S, Smin, Stmp, Pp, Lam, interior,
+            mask0, L=L, alpha_s=alpha_s, alpha_p=alpha_p, alpha_d=alpha_d,
+            delta_s=delta_s, p_min=p_min, p_max=p_max,
+        )
+        gate_r = 1.0 - p_out
+        gate_i = jnp.where(mask0, 1.0 - p_min, gate_r)
+        p_ref[t, 0] = p_out
+        e = _flms_gated_frame(
+            t, Zr, Zi, Wt, Pm, Pn, cs_ref, ab_ref, d_ref[t, 0], gate_r, gate_i,
+            mask0, edge, C, sub, fl, hop, Lf, mu, alpha,
+        )
+
+        # ---- windowed analysis of the AIC output (TDGSC.py:157) ----------
+        yw = _dot(OutPrev[...], csw_ref[:hop]) + _dot(e, csw_ref[hop:])
+        OutPrev[...] = e
+        yr, yi = yw[:, :fl], yw[:, fl:]
+        y = yr * yr + jnp.where(mask0, 0.0, yi * yi)  # beam power, bins 0..fl-1
+        y_n = yi[:, :1] * yi[:, :1]  # Nyquist beam power [sub, 1]
+
+        # ---- OMLSA's (1+C)-channel MCRA noise trackers --------------------
+        powers = [y] + [up_ref[t, 0, c] for c in range(C)]
+        nyqs = [y_n] + [un_ref[t, 0][:, c : c + 1] for c in range(C)]
+        mus, mu_nys = [], []
+        for m, (pw, pn) in enumerate(zip(powers, nyqs)):
+            left = jnp.concatenate([pw[:, :1], pw[:, :-1]], axis=1)
+            right = jnp.concatenate([pw[:, 1:], pn], axis=1)
+            sf = 0.25 * left + 0.5 * pw + 0.25 * right
+            _, mu_m, _ = _mcra_frame(
+                tg, pw, sf, _Chan(McS, m), _Chan(McSmin, m), _Chan(McStmp, m),
+                _Chan(McP, m), _Chan(McLam, m), interior, mask0,
+                L=om_L, alpha_s=om_alpha_s, alpha_p=om_alpha_p,
+                alpha_d=om_alpha_d, delta_s=om_delta_s, p_min=om_p_min,
+                p_max=om_p_max,
+            )
+            mus.append(mu_m)
+            mu_nys.append(at0 * 1e-8 + (1.0 - at0) * pn)  # pinned (mcra.py:73)
+
+        # ---- zeta smoothing (omlsa_multi.py:94-95; zero-padded edges) -----
+        zY = o_alpha_s * ZetaY[...] + (1.0 - o_alpha_s) * smooth_zero(y, y_n)
+        zY = jnp.where(is_first, y, zY)
+        ZetaY[...] = zY
+        zUs = []
+        for c in range(C):
+            u_c = up_ref[t, 0, c]
+            zU = o_alpha_s * ZetaU[c] + (1.0 - o_alpha_s) * smooth_zero(u_c, nyqs[1 + c])
+            zU = jnp.where(is_first, u_c, zU)
+            ZetaU[c] = zU
+            zUs.append(zU)
+
+        # ---- TBRR omega / gamma_s / q-hat (Eq.6, 27, 29) -------------------
+        ref_max = zUs[0] - mus[1]
+        for c in range(1, C):
+            ref_max = jnp.maximum(ref_max, zUs[c] - mus[1 + c])
+        omega = jnp.maximum(zY - mus[0], 1e-6) / (
+            jnp.maximum(ref_max, o_eps * mus[0]) + 1e-6
+        )
+        omega = jnp.clip(omega, 0.1, 100.0)
+        gamma_s = jnp.minimum(y / (mus[0] * o_bmin + 1e-6), 100.0)
+        q_cand = jnp.maximum(
+            (o_gh - gamma_s) / (o_gh - o_gl), (o_oh - omega) / (o_oh - o_ol)
+        )
+        absent = (gamma_s < o_gl) | (omega < o_ol)
+        q = jnp.clip(jnp.where(absent, 1.0, q_cand), o_qmin, o_qmax)
+
+        # ---- decision-directed gain (Eq.28/30; mcspp_base.py:140-156) ------
+        gam = y / jnp.maximum(OLam[...], 1e-10)
+        xi = o_alpha_xi * OGH1[...] ** 2 * OGam[...] + (1.0 - o_alpha_xi) * jnp.maximum(gam - 1.0, 0.0)
+        nu = gam * xi / (1.0 + xi)
+        GH1 = xi / (1.0 + xi)
+        pp = 1.0 / (1.0 + q / (1.0 - q) * (1.0 + xi) * jnp.exp(-nu))
+        a_t = o_alpha_d + (1.0 - o_alpha_d) * pp
+        lam_new = jnp.where(is_first, y, a_t * OLam[...] + o_beta * (1.0 - a_t) * y)
+        logG = pp * jnp.log(jnp.maximum(GH1, 1e-30)) + (1.0 - pp) * log_gmin
+        G = jnp.clip(jnp.exp(logG), o_gmin, 1.0)
+        G = jnp.where(is_first, 1.0, G)
+        OLam[...] = lam_new
+        OGam[...] = jnp.where(is_first, OGam[...], gam)
+        OGH1[...] = jnp.where(is_first, OGH1[...], GH1)
+
+        # ---- the same chain for the Nyquist bin on NyS lane slots ---------
+        ny = NyS[...]
+        col = lambda k: ny[:, k : k + 1]
+        zY_n = jnp.where(is_first, y_n, o_alpha_s * col(0) + (1.0 - o_alpha_s) * (0.25 * y[:, -1:] + 0.5 * y_n))
+        zU_n, refmax_n = [], None
+        for c in range(C):
+            u_c_n = nyqs[1 + c]
+            v = jnp.where(is_first, u_c_n,
+                          o_alpha_s * col(1 + c) + (1.0 - o_alpha_s) * (0.25 * up_ref[t, 0, c][:, -1:] + 0.5 * u_c_n))
+            zU_n.append(v)
+            d = v - mu_nys[1 + c]
+            refmax_n = d if refmax_n is None else jnp.maximum(refmax_n, d)
+        omega_n = jnp.clip(
+            jnp.maximum(zY_n - mu_nys[0], 1e-6) / (jnp.maximum(refmax_n, o_eps * mu_nys[0]) + 1e-6),
+            0.1, 100.0,
+        )
+        gs_n = jnp.minimum(y_n / (mu_nys[0] * o_bmin + 1e-6), 100.0)
+        q_n = jnp.clip(
+            jnp.where((gs_n < o_gl) | (omega_n < o_ol), 1.0,
+                      jnp.maximum((o_gh - gs_n) / (o_gh - o_gl), (o_oh - omega_n) / (o_oh - o_ol))),
+            o_qmin, o_qmax,
+        )
+        gam_n = y_n / jnp.maximum(col(C + 1), 1e-10)
+        xi_n = o_alpha_xi * col(C + 3) ** 2 * col(C + 2) + (1.0 - o_alpha_xi) * jnp.maximum(gam_n - 1.0, 0.0)
+        nu_n = gam_n * xi_n / (1.0 + xi_n)
+        GH1_n = xi_n / (1.0 + xi_n)
+        pp_n = 1.0 / (1.0 + q_n / (1.0 - q_n) * (1.0 + xi_n) * jnp.exp(-nu_n))
+        at_n = o_alpha_d + (1.0 - o_alpha_d) * pp_n
+        lam_nn = jnp.where(is_first, y_n, at_n * col(C + 1) + o_beta * (1.0 - at_n) * y_n)
+        G_n = jnp.clip(jnp.exp(pp_n * jnp.log(jnp.maximum(GH1_n, 1e-30)) + (1.0 - pp_n) * log_gmin), o_gmin, 1.0)
+        G_n = jnp.where(is_first, 1.0, G_n)
+        gam_n = jnp.where(is_first, col(C + 2), gam_n)
+        GH1_n = jnp.where(is_first, col(C + 3), GH1_n)
+        # repack the NyS lane slots
+        slots = jnp.concatenate(
+            [zY_n] + zU_n + [lam_nn, gam_n, GH1_n], axis=1
+        )  # [sub, C + 4]
+        NyS[...] = jnp.where(ny_lane < C + 4, jnp.pad(slots, [(0, 0), (0, NyS.shape[1] - (C + 4))]), ny)
+
+        # ---- sqrt-gain + windowed ISTFT overlap-add (TDGSC.py:163-169) ----
+        sg = jnp.sqrt(G)
+        sg_i = jnp.where(mask0, jnp.sqrt(G_n), sg)
+        f = _dot(jnp.concatenate([sg * yr, sg_i * yi], axis=-1), abw_ref[...])
+        e_ref[t, 0] = f[:, :hop] + OLAc[...]
+        OLAc[...] = f[:, hop:]
+        return 0
+
+    jax.lax.fori_loop(0, Tc, frame, 0)
+
+
+def _kws_kernel(
+    sig_ref, halo_ref, d_ref, cs_ref, ab_ref,  # inputs
+    o_ref,  # output: cleaned blocks [tc, 1, sub, hop]
+    Zr, Zi, Wt, Pm, Pn, Fifo,  # scratch
+    *, Tc: int, fl: int, hop: int, Lf: int, Dn: int,
+    mu: float, alpha: float, sub: int,
+):
+    """Dual-mic KWS cleaner (dual_mic_kws.py:111-152): a continuously
+    adapting single-channel FLMS ANC whose taps are applied ``Dn`` frames
+    LATE by a frozen cleaner.  The tap FIFO is a circular [Dn, sub, Lf]
+    scratch indexed by frame number — no per-frame shifting of the 94-slot
+    queue.  6 small in-VMEM dots per frame."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        for ref in (Wt, Pm, Pn, Fifo):
+            ref[...] = jnp.zeros_like(ref)
+
+    _bulk_analysis(sig_ref, halo_ref, cs_ref, Zr, Zi, 1, Tc, sub, hop, fl)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (sub, fl), 1)
+    mask0 = lane == 0
+    chunk_base = pl.program_id(1) * Tc
+
+    def frame(t, _):
+        tg = chunk_base + t
+        xr, xi = Zr[0, t], Zi[0, t]
+        d_t = d_ref[t, 0]  # x1 delayed by Lf/2 (non_causal)
+
+        # ---- ANC: adapt on the current frame -------------------------------
+        Wz = _dot(Wt[...], cs_ref[:Lf])  # [sub, 2fl]
+        yr, yi = _cmul_acc(xr, xi, Wz[:, :fl], Wz[:, fl:], mask0)
+        pw = xr * xr + jnp.where(mask0, 0.0, xi * xi)
+        Pmc = jnp.maximum(alpha * Pm[...] + (1.0 - alpha) * pw, 1e-4)
+        Pnc = jnp.maximum(alpha * Pn[...] + (1.0 - alpha) * (xi * xi), 1e-4)
+        Pm[...] = Pmc
+        Pn[...] = Pnc
+        y = _dot(jnp.concatenate([yr, yi], axis=-1), ab_ref[:, hop:])
+        e = d_t - y
+        Ez = _dot(e, cs_ref[hop:])
+        gr, gi = _cmul_conj(xr, xi, Ez[:, :fl], Ez[:, fl:], mask0)
+        G = jnp.concatenate([gr / Pmc, gi / jnp.where(mask0, Pnc, Pmc)], axis=-1)
+        g_t = _dot(G, ab_ref[:, :Lf])  # constrained support = first Lf taps
+        w_new = Wt[...] + 2.0 * mu * g_t
+        Wt[...] = w_new
+
+        # ---- deferred-tap cleaner (the FIFO tail, frozen) ------------------
+        slot = tg % Dn
+        w_old = Fifo[slot]  # taps pushed Dn frames ago (zeros at start)
+        Fifo[slot] = w_new
+        Wf = _dot(w_old, cs_ref[:Lf])
+        cr, ci = _cmul_acc(xr, xi, Wf[:, :fl], Wf[:, fl:], mask0)
+        y_c = _dot(jnp.concatenate([cr, ci], axis=-1), ab_ref[:, hop:])
+        o_ref[t, 0] = d_t - y_c
+        return 0
+
+    jax.lax.fori_loop(0, Tc, frame, 0)
+
+
+def fused_kws(
+    x: jnp.ndarray,
+    cfg=None,
+    interpret: bool = None,
+    t_chunk: int = None,
+    sub: int = _SUB,
+):
+    """Fused dual-mic KWS cleaner: x [B, 2, S] -> cleaned [B, S'], matching
+    ``kws.dual_mic.kws_process``.  B % sub == 0."""
+    from distantspeech_tpu.kws.dual_mic import DualMicKwsConfig
+
+    if cfg is None:
+        cfg = DualMicKwsConfig()
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    if x.ndim != 3 or x.shape[1] != 2 or x.shape[0] % sub:
+        raise ValueError(f"fused_kws needs x [B, 2, S] with B % {sub} == 0, got {x.shape}")
+    fcfg = cfg.flms
+    Lf, hop, n_fft = fcfg.filter_len, fcfg.hop, fcfg.n_fft
+    fl = n_fft // 2
+    if fl % 128 or hop != Lf:
+        raise ValueError(f"fused_kws needs the default hop == filter_len layout, got L={Lf}")
+    B, _, Sx = x.shape
+    T = Sx // Lf
+    x = x[..., : T * Lf]
+    nb = B // sub
+    Dn = cfg.delay_frames_n
+
+    # non-causal desired: mic1 delayed by filter_len/2
+    d = jnp.pad(x[:, 1], [(0, 0), (Lf // 2, 0)])[..., : T * Lf]
+    d_in = jnp.moveaxis(d.reshape(B, T, Lf), 1, 0)
+    tc = t_chunk or _pick_t_chunk(T, 32) or 32
+    Tp = -(-T // tc) * tc
+    if Tp != T:
+        d_in = jnp.pad(d_in, [(0, Tp - T), (0, 0), (0, 0)])
+    d_in = d_in.reshape(Tp, nb, sub, Lf)
+
+    x0b = jnp.pad(x[:, 0], [(0, 0), (hop, 0)]).reshape(B, 1, T + 1, hop)
+    if Tp != T:
+        x0b = jnp.pad(x0b, [(0, 0), (0, 0), (0, Tp - T), (0, 0)])
+    sig = jnp.transpose(x0b, (2, 1, 0, 3))
+
+    CS, AB = (m.astype(np.float32) for m in plain_dft_packed(n_fft))
+    kern = partial(_kws_kernel, Tc=tc, fl=fl, hop=hop, Lf=Lf, Dn=Dn,
+                   mu=fcfg.mu, alpha=fcfg.alpha, sub=sub)
+    sig_spec = pl.BlockSpec((tc, 1, sub, hop), lambda n, t: (t, 0, n, 0), memory_space=pltpu.VMEM)
+    halo_spec = pl.BlockSpec((1, 1, sub, hop), lambda n, t: (t * tc + tc, 0, n, 0), memory_space=pltpu.VMEM)
+    tile = lambda last: pl.BlockSpec((tc, 1, sub, last), lambda n, t: (t, n, 0, 0), memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda n, t: (0, 0), memory_space=pltpu.VMEM)
+    scratch = [
+        pltpu.VMEM((1, tc, sub, fl), jnp.float32),
+        pltpu.VMEM((1, tc, sub, fl), jnp.float32),
+        pltpu.VMEM((sub, Lf), jnp.float32),  # Wt (single channel)
+        pltpu.VMEM((sub, fl), jnp.float32),
+        pltpu.VMEM((sub, fl), jnp.float32),
+        pltpu.VMEM((Dn, sub, Lf), jnp.float32),  # Fifo
+    ]
+    params = None if interpret else pltpu.CompilerParams(
+        dimension_semantics=("parallel", "arbitrary")
+    )
+    o_out = pl.pallas_call(
+        kern,
+        grid=(nb, Tp // tc),
+        in_specs=[sig_spec, halo_spec, tile(Lf), const(CS.shape), const(AB.shape)],
+        out_specs=tile(hop),
+        out_shape=jax.ShapeDtypeStruct((Tp, nb, sub, hop), jnp.float32),
+        scratch_shapes=scratch,
+        interpret=interpret,
+        **({} if params is None else {"compiler_params": params}),
+    )(sig, sig, d_in, jnp.asarray(CS), jnp.asarray(AB))
+    return jnp.moveaxis(o_out[:T].reshape(T, B, Lf), 0, 1).reshape(B, T * Lf)

@@ -70,8 +70,6 @@ def test_fused_tdgsc_rejects_bad_shapes():
     geom = ArrayGeometry.linear(4, 0.032)
     with pytest.raises(ValueError):
         fused_tdgsc(_scene(B=3), geom, ANG, TdGscConfig(), interpret=True)
-    with pytest.raises(ValueError):
-        fused_tdgsc(_scene(), geom, ANG, TdGscConfig(postfilter=True), interpret=True)
 
 
 def test_fused_fdgsc_matches_scan():
@@ -99,3 +97,88 @@ def test_fused_fdgsc_chunking_invariance():
     a = fused_fdgsc(x, geom, ANG, cfg, interpret=True, t_chunk=10)[0]
     b = fused_fdgsc(x, geom, ANG, cfg, interpret=True, t_chunk=4)[0]  # padded
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_fused_tdgsc_postfilter_matches_scan():
+    """OMLSA-multi fused in-kernel (windowed STFTs, (1+C) MCRA trackers,
+    TBRR gain, ISTFT overlap-add) vs the scan path's tdgsc_step
+    postfilter branch."""
+    x = _scene(S=256 * 24, seed=4)
+    geom = ArrayGeometry.linear(4, 0.032)
+    cfg = TdGscConfig(n_mics=4, postfilter=True)
+    o1, p1, _ = tdgsc_process(x, geom, ANG, cfg)
+    o2, p2, _ = fused_tdgsc(x, geom, ANG, cfg, interpret=True)
+    scale = np.max(np.abs(np.asarray(o1))) + 1e-12
+    assert np.max(np.abs(np.asarray(o1) - np.asarray(o2))) / scale < 1e-4
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
+
+
+def test_fused_kws_matches_scan():
+    from distantspeech_tpu.kws.dual_mic import DualMicKwsConfig, kws_process
+    from distantspeech_tpu.ops.pallas_flms import fused_kws
+
+    rng = np.random.default_rng(5)
+    B, S = 8, 256 * 100  # past the 94-frame defer FIFO wrap
+    src = rng.standard_normal((B, S))
+    x = np.stack(
+        [src, np.roll(src, 3, axis=-1) * 0.8 + 0.1 * rng.standard_normal((B, S))], axis=1
+    ).astype(np.float32)
+    cfg = DualMicKwsConfig()
+    want = np.asarray(kws_process(jnp.asarray(x), cfg))
+    got = np.asarray(fused_kws(jnp.asarray(x), cfg, interpret=True))
+    scale = np.max(np.abs(want)) + 1e-12
+    assert np.max(np.abs(want - got)) / scale < 1e-5
+
+
+def test_fused_aec_matches_scan():
+    from distantspeech_tpu.adaptive.aec import AecConfig, aec_init, aec_step
+    from distantspeech_tpu.ops.pallas_aec import fused_aec
+    import jax
+
+    B, M, S, L = 8, 4, 256 * 20, 256
+    T = S // L
+    rng = np.random.default_rng(6)
+    far = (rng.standard_normal((B, S)) * 0.5).astype(np.float32)
+    h = rng.standard_normal(64) * np.exp(-np.arange(64) / 12)
+    echo = np.stack([np.convolve(far[b], h)[:S] for b in range(B)]).astype(np.float32)
+    x = (0.1 * rng.standard_normal((B, M, S)).astype(np.float32) + echo[:, None, :])
+    cfg = AecConfig(filter_len=512, num_block=2)
+
+    xb = jnp.moveaxis(jnp.asarray(x).reshape(B, M, T, L), 2, 0)
+    fb = jnp.moveaxis(jnp.asarray(far).reshape(B, T, L), 1, 0)
+
+    def body(s, blk):
+        farb = jnp.broadcast_to(blk[1][..., None, :], blk[0].shape)
+        s2, (ef, _) = aec_step(cfg, s, farb, blk[0])
+        return s2, ef
+
+    _, ef = jax.lax.scan(body, aec_init(cfg, (B, M)), (xb, fb))
+    want = np.asarray(jnp.moveaxis(ef, 0, 2).reshape(B, M, S))
+    got = np.asarray(fused_aec(jnp.asarray(far), jnp.asarray(x), cfg, interpret=True))
+    scale = np.max(np.abs(want)) + 1e-12
+    assert np.max(np.abs(want - got)) / scale < 1e-5
+
+
+def test_fused_full_stack_matches_scan():
+    """BASELINE config 5 as three chained Pallas kernels (AEC -> KWS ->
+    TDGSC+OMLSA) vs the monolithic block scan."""
+    from distantspeech_tpu.runtime.full_stack import FullStackConfig, full_stack_process
+
+    B, M, S = 8, 4, 256 * 20
+    rng = np.random.default_rng(7)
+    far = (rng.standard_normal((B, S)) * 0.5).astype(np.float32)
+    h = rng.standard_normal(64) * np.exp(-np.arange(64) / 12)
+    echo = np.stack([np.convolve(far[b], h)[:S] for b in range(B)]).astype(np.float32)
+    x = (0.1 * rng.standard_normal((B, M, S)).astype(np.float32) + echo[:, None, :])
+    geom = ArrayGeometry.linear(M, 0.032)
+    cfg = FullStackConfig(n_mics=M)
+    o1, k1, p1 = full_stack_process(jnp.asarray(x), jnp.asarray(far), geom, ANG, cfg)
+    o2, k2, p2 = full_stack_process(jnp.asarray(x), jnp.asarray(far), geom, ANG, cfg, backend="fused")
+    scale = np.max(np.abs(np.asarray(o1))) + 1e-12
+    assert np.max(np.abs(np.asarray(o1) - np.asarray(o2))) / scale < 1e-4
+    # 1e-4, not 1e-5: the KWS tap adapts on the AEC output, so the AEC
+    # kernel's ~1e-6 rounding differences are amplified by a second
+    # adaptive filter before comparison
+    kscale = np.max(np.abs(np.asarray(k1))) + 1e-12
+    assert np.max(np.abs(np.asarray(k1) - np.asarray(k2))) / kscale < 1e-4
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
