@@ -122,6 +122,9 @@ def main():
         "wpe_srp_8mic": (lambda x: _wpe_srp(x), mk_x(8)),
         # BASELINE config 5: AEC + time alignment + GSC + postfilter + KWS
         "full_stack_4mic": (lambda x: full_stack_process(x, x[..., 0, :], geom4, ang)[0], mk_x(4)),
+        "full_stack_fused_4mic": (
+            lambda x: full_stack_process(x, x[..., 0, :], geom4, ang, backend="fused")[0], mk_x(4)),
+        "kws_fused_2mic": (lambda x: _kws_fused(x), mk_x(2)),
     }
 
     wcfg8 = WpeConfig(n_channels=8)
@@ -140,6 +143,11 @@ def main():
     def _mccowan(x):
         ds = fixed_process(x, jnp.asarray(W_ds), mc_fix.stft)
         return mccowan_process(x, ds, geom4, McCowanConfig(n_mics=4))
+
+    def _kws_fused(x):
+        from distantspeech_tpu.ops.pallas_flms import fused_kws
+
+        return fused_kws(x, DualMicKwsConfig())
 
     from distantspeech_tpu.array.alignment import time_alignment_filters
 
