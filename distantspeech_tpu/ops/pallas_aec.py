@@ -49,7 +49,7 @@ def _aec_kernel(
     o_ref,  # output: echo-free mic blocks [tc, 1, M, sub, hop]
     Zr, Zi, ZpR, ZpI, Wr, Wi, Fr, Fi, P, PN, Py, PyN, Pe, PeN, Aux,  # scratch
     *, Tc: int, M: int, NB: int, fl: int, hop: int, sub: int,
-    alpha: float, mu_max: float, gamma: float, beta0: float, deemph: float,
+    alpha: float, mu_max: float, gamma: float, beta0: float,
 ):
     """Per frame: 6 small in-VMEM dots (y_bg, y_fg, E, the gradient
     constraint round-trip, the de-emphasis IIR) plus the speex two-path /
@@ -336,7 +336,6 @@ def fused_aec(
     kern = partial(
         _aec_kernel, Tc=tc, M=M, NB=NB, fl=fl, hop=hop, sub=sub,
         alpha=cfg.alpha, mu_max=cfg.mu_max, gamma=cfg.gamma, beta0=cfg.beta0,
-        deemph=0.98,
     )
     sig_spec = pl.BlockSpec((tc, 1, sub, hop), lambda n, t: (t, 0, n, 0), memory_space=pltpu.VMEM)
     halo_spec = pl.BlockSpec((1, 1, sub, hop), lambda n, t: (t * tc + tc, 0, n, 0), memory_space=pltpu.VMEM)

@@ -208,3 +208,29 @@ def test_real_full_stack_parity():
     )
     np.testing.assert_allclose(np.asarray(kws_clean), kws_out_ref, atol=1e-7)
     np.testing.assert_allclose(np.asarray(out), out_ref, rtol=1e-5, atol=1e-7)
+
+
+def test_real_full_stack_fused_matches_scan():
+    """The three chained Pallas kernels (AEC -> KWS -> TDGSC+OMLSA) on REAL
+    near-end speech and a REAL far-end: the two-path transfers, MCRA minima
+    windows and TBRR gains follow the scan path on actual speech
+    statistics, not just standard_normal."""
+    from distantspeech_tpu.runtime.full_stack import FullStackConfig, full_stack_process
+
+    x_near = np.asarray(_rec1(n_blocks=40), dtype=np.float32)
+    S = x_near.shape[1]
+    far = load_audio(os.path.join(SAMPLES, "cleanspeech_aishell3.wav")).astype(np.float32)[:S]
+    rng = np.random.default_rng(7)
+    h = (rng.standard_normal(64) * np.exp(-np.arange(64) / 12) * 0.3).astype(np.float32)
+    echo = np.convolve(far, h)[:S].astype(np.float32)
+    x = np.broadcast_to(x_near + echo[None, :], (8, 4, S)).copy()
+    farb = np.broadcast_to(far, (8, S)).copy()
+
+    geom = ArrayGeometry.circular(4, 0.032, c=343.0)
+    cfg = FullStackConfig(n_mics=4)
+    o1, k1, p1 = full_stack_process(jnp.asarray(x), jnp.asarray(farb), geom, cfg=cfg)
+    o2, k2, p2 = full_stack_process(jnp.asarray(x), jnp.asarray(farb), geom, cfg=cfg, backend="fused")
+    scale = np.max(np.abs(np.asarray(o1))) + 1e-12
+    assert np.max(np.abs(np.asarray(o1) - np.asarray(o2))) / scale < 1e-3
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-5)
+    assert np.isfinite(np.asarray(k2)).all()
