@@ -47,7 +47,12 @@ def test_min_pairs_enforced():
 
 
 def test_benchmark_runs_on_real_fn():
+    import jax
     import jax.numpy as jnp
 
-    out = benchmark(lambda a: jnp.sum(a * a), jnp.ones(64), iters=4)
+    # per-call work must dwarf timer noise or the robust slope legitimately
+    # rejects the measurement under parallel-suite CPU contention (observed
+    # flake with a 64-element reduction)
+    f = jax.jit(lambda a: jnp.sum(a @ a))
+    out = benchmark(f, jnp.ones((512, 512)), iters=4)
     assert out["per_call_s"] > 0 and np.isfinite(out["calls_per_s"])
