@@ -128,7 +128,8 @@ def tdgsc_process(
 
     ``unroll``: frame-scan lowering hint, numerically inert (see gsc.py).
     ``backend``: 'scan' (any batch shape / device) or 'fused' (the Pallas
-    frame-loop kernel, TPU, [B, M, S] with B % 8 == 0, postfilter off)."""
+    frame-loop kernel, TPU, [B, M, S] with B % 8 == 0; postfilter=True runs
+    the OMLSA-in-kernel variant)."""
     if backend == "fused":
         from distantspeech_tpu.ops.pallas_flms import fused_tdgsc
 

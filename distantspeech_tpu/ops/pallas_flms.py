@@ -226,7 +226,8 @@ def fused_tdgsc(
     unroll: int = 1,
     _stages: int = 7,
 ):
-    """Fused TDGSC (postfilter=False core): same signature/returns as
+    """Fused TDGSC (cfg.postfilter selects the OMLSA-in-kernel variant):
+    same signature/returns as
     ``beamform.tdgsc.tdgsc_process`` — (out [B, S'], p [B, T, F],
     bm [B, M-1, S']).  x: [B, M, S] with B % sub == 0.
 
