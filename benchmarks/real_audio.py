@@ -1,19 +1,39 @@
 """Quality metrics on REAL speech -> REAL_AUDIO.json.
 
-Two evidence classes (complementing tests/test_real_audio.py's frame-exact
+Three evidence classes (complementing tests/test_real_audio.py's frame-exact
 parity against the reference classes):
 
 1. **Known-truth mix**: the reference's own real recordings
    (samples/audio_samples/target.wav + interf.wav — real speech, real
    interference) spatialised through the image-source simulator onto a
-   4-mic array, so SI-SDR / segmental-SNR improvements are computable
-   against the dry target.  This mirrors the reference's own demo mixes
-   (/root/reference/example/run_GSC.py loads the same samples).
-2. **Blind real capture**: the rec1 4-mic room recording (no ground truth)
+   4-mic circular array, so SI-SDR / segmental-SNR improvements are
+   computable against the dry target.  This mirrors the reference's own
+   demo mixes (/root/reference/example/run_GSC.py loads the same samples).
+2. **Reference-side comparison runs**: the ACTUAL reference classes (via
+   tests/refutil) run on the IDENTICAL mix, scored with the identical
+   metrics, recorded as ``ref_si_sdr_impr_db`` beside ours — the pattern of
+   the reference's own golden-output comparisons
+   (/root/reference/DistantSpeech/beamformer/dios_ssp_gsc.py:56-76) and
+   real-WAV scoring runs (noise_estimation/mcspp_base.py:370-403).  A
+   negative improvement that the reference reproduces is inherited
+   algorithm behaviour; one it doesn't is a harness bug.
+3. **Blind real capture**: the rec1 4-mic room recording (no ground truth)
    — records the noise-floor reduction (low-energy-decile frame power in
    vs out) and the MCRA speech-presence occupancy as behavioural evidence.
 
-    python benchmarks/real_audio.py [--cpu] [--out REAL_AUDIO.json]
+The array is CIRCULAR (not linear) because the reference's frequency-domain
+classes hardcode the circular-array delay law ``tao = -r*cos(angle -
+gamma)/c`` (adaptivebeamformer.py:52, GSC.py:185) — on a circular array
+every class on both sides sees its native geometry, so the comparison
+columns are apples-to-apples.
+
+PESQ/STOI: the reference hooks them behind optional packages
+(mcspp_base.py:394-403); ``pesq`` and ``pystoi`` are NOT installed in this
+image (and nothing may be pip-installed), so the artifact records an
+explicit waiver and the always-available SI-SDR / segmental-SNR /
+silent-frame-suppression metrics carry the evidence.
+
+    python benchmarks/real_audio.py [--cpu] [--skip-ref] [--out REAL_AUDIO.json]
 """
 
 from __future__ import annotations
@@ -26,9 +46,19 @@ import sys
 import numpy as np
 
 sys.path.insert(0, ".")
+sys.path.insert(0, "tests")
 
 REC1 = "/root/reference/example/test_audio/rec1"
 SAMPLES = "/root/reference/samples/audio_samples"
+
+# pipelines with an exact reference twin (same class, same mix, same angle)
+REF_TWINS = {
+    "mvdr": "adaptivebeamfomer.process(method=2) [adaptivebeamformer.py:44]",
+    "gsc": "GSC.process(method=2) [GSC.py:174]",
+    "tdgsc": "TDGSC.process [TDGSC.py:110]",
+    "fdgsc": "FDGSC.process [FDGSC.py:201]",
+    "subband_gsc": "SubbandGSC.process [SubbandGSC.py:170]",
+}
 
 
 def _frame_energy_decile(y: np.ndarray, frame: int = 256, q: float = 10.0) -> float:
@@ -37,9 +67,71 @@ def _frame_energy_decile(y: np.ndarray, frame: int = 256, q: float = 10.0) -> fl
     return float(np.percentile(e[e > 0], q))
 
 
+def _run_ref_pipelines(mix: np.ndarray) -> dict:
+    """Run the reference classes on the identical [4, S] float64 mix.
+
+    Returns {name: np.ndarray output or Exception}.  Look angle is the true
+    source direction (90 deg) in each class's own convention.
+    """
+    import refutil
+
+    refutil.patch_beamformer_base()
+    ma_mod = refutil.load("DistantSpeech.beamformer.MicArray")
+    mic = ma_mod.MicArray(arrayType="circular", r=0.032, M=4)
+    ang_deg = [90, 0]
+    ang_rad = np.array([np.pi / 2, 0.0])
+
+    def _tdgsc():
+        mod = refutil.load("DistantSpeech.beamformer.TDGSC")
+        ref = mod.TDGSC(mic, frameLen=256, angle=list(ang_deg))
+        return ref.process(mix.T.copy())[0]
+
+    def _fdgsc():
+        mod = refutil.load("DistantSpeech.beamformer.FDGSC")
+        ref = mod.FDGSC(mic, frameLen=256, angle=list(ang_deg))
+        return ref.process(mix.T.copy())[0]
+
+    def _subband_gsc():
+        fdgsc_mod = refutil.load("DistantSpeech.beamformer.FDGSC")
+        if not hasattr(fdgsc_mod, "DelayObj"):
+            flms_mod = refutil.load("DistantSpeech.adaptivefilter.FastFreqLms")
+            fdgsc_mod.DelayObj = flms_mod.DelayObj
+        mod = refutil.load("DistantSpeech.beamformer.SubbandGSC")
+        ref = mod.SubbandGSC(mic, frameLen=256, angle=list(ang_deg))
+        return ref.process(mix.copy())[0]
+
+    def _mvdr():
+        adaptive = refutil.load("DistantSpeech.beamformer.adaptivebeamformer")
+        ref = adaptive.adaptivebeamfomer(mic, 256, 128, 256)
+        orig = ref.transformer.istft
+        ref.transformer.istft = lambda Y: orig(Y[:, :, None] if Y.ndim == 2 else Y)
+        return ref.process(mix.copy(), ang_rad, method=2)["data"]
+
+    def _gsc():
+        mod = refutil.load("DistantSpeech.beamformer.GSC")
+        ref = mod.GSC(mic, frameLen=256)
+        orig = ref.transformer.istft
+        ref.transformer.istft = lambda Y: orig(Y[:, :, None] if Y.ndim == 2 else Y)
+        return ref.process(mix.copy(), ang_rad, method=2)["data"]
+
+    runs = {"mvdr": _mvdr, "gsc": _gsc, "tdgsc": _tdgsc, "fdgsc": _fdgsc,
+            "subband_gsc": _subband_gsc}
+    out = {}
+    for name, fn in runs.items():
+        try:
+            out[name] = np.squeeze(np.asarray(fn(), dtype=np.float64))
+        except Exception as e:  # record, don't abort: a diverging reference IS evidence
+            out[name] = e
+        print(f"ref[{name}] done", flush=True)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--skip-ref", action="store_true",
+                    help="skip the reference-class comparison runs (pure-NumPy "
+                         "per-sample loops: ~minutes per variant)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--seconds", type=float, default=8.0)
     args = ap.parse_args()
@@ -71,7 +163,7 @@ def main():
     target = np.tile(target, reps)[:S]
     interf = np.tile(interf, -(-S // len(interf)))[:S]
 
-    geom = ArrayGeometry.linear(4, 0.032, fs=fs)
+    geom = ArrayGeometry.circular(4, 0.032, c=343.0)
     ang = (np.pi / 2, 0.0)
     # two variants: "mix" starts mid-speech (hardest case for warmup-gated
     # estimators); "mix_leadin" prepends 0.75 s of noise-only lead-in (what
@@ -138,19 +230,24 @@ def main():
         base_ratio = frame_power(mic0, silent) / frame_power(mic0, active)
         results[vname] = {
             "sources": "samples/audio_samples target.wav + interf.wav (real speech)",
+            "array": "circular M=4 r=0.032 (native geometry for every reference class)",
             "snr_db": 25.0, "sir_db": 5.0, "seconds": args.seconds,
             "leadin_s": 0.75 if vname == "mix_leadin" else 0.0,
             "mic0_si_sdr_db": round(base_sisdr, 2), "mic0_seg_snr_db": round(base_seg, 2),
             "pipelines": {},
         }
+
+        def score(y):
+            n = min(len(y), len(tgt))
+            si = best_aligned_si_sdr(y[:n], tgt[:n])
+            seg = segmental_snr_db(y[:n], tgt[:n])
+            ratio = frame_power(y, silent) / frame_power(y, active)
+            supp = 10 * np.log10(base_ratio / ratio)
+            return si, seg, supp
+
         for name, fn in make_pipelines(xj).items():
             try:
-                y = np.asarray(fn()).astype(np.float64)
-                n = min(len(y), len(tgt))
-                si = best_aligned_si_sdr(y[:n], tgt[:n])
-                seg = segmental_snr_db(y[:n], tgt[:n])
-                ratio = frame_power(y, silent) / frame_power(y, active)
-                supp = 10 * np.log10(base_ratio / ratio)
+                si, seg, supp = score(np.asarray(fn()).astype(np.float64))
                 results[vname]["pipelines"][name] = {
                     "si_sdr_db": round(si, 2), "si_sdr_impr_db": round(si - base_sisdr, 2),
                     "seg_snr_db": round(seg, 2), "seg_snr_impr_db": round(seg - base_seg, 2),
@@ -159,6 +256,27 @@ def main():
             except Exception as e:
                 results[vname]["pipelines"][name] = {"error": f"{type(e).__name__}: {e}"[:200]}
             print(vname, name, json.dumps(results[vname]["pipelines"][name]), flush=True)
+
+        # ---- reference comparison columns on the identical mix ----------
+        if not args.skip_ref:
+            for name, y_ref in _run_ref_pipelines(mix).items():
+                entry = results[vname]["pipelines"].setdefault(name, {})
+                entry["ref_class"] = REF_TWINS[name]
+                if isinstance(y_ref, Exception):
+                    entry["ref_error"] = f"{type(y_ref).__name__}: {y_ref}"[:200]
+                else:
+                    si, seg, supp = score(y_ref)
+                    entry["ref_si_sdr_db"] = round(si, 2)
+                    entry["ref_si_sdr_impr_db"] = round(si - base_sisdr, 2)
+                    entry["ref_seg_snr_impr_db"] = round(seg - base_seg, 2)
+                    entry["ref_silent_frame_suppression_db"] = round(supp, 2)
+                print(vname, "ref:" + name, json.dumps(
+                    {k: v for k, v in entry.items() if k.startswith("ref")}), flush=True)
+            for name in ("enhance_mvdr_omlsa", "enhance_noguard_L65", "enhance_L15"):
+                results[vname]["pipelines"][name]["ref_note"] = (
+                    "no reference composite exists: enhance = adaptivebeamfomer(method=2) "
+                    "+ OMLSA gain built from mcspp_base.compute_omlsa_weight primitives; "
+                    "compare against the 'mvdr' ref columns + the ablation rows")
 
     # ---- blind real capture: rec1, no ground truth -------------------------
     chans = [load_audio(os.path.join(REC1, f)) for f in sorted(os.listdir(REC1))]
@@ -178,6 +296,15 @@ def main():
         "output_finite": bool(np.all(np.isfinite(out))),
     }
     print("rec1_tdgsc", json.dumps(results["rec1_tdgsc"]), flush=True)
+
+    results["pesq_stoi"] = {
+        "waived": True,
+        "reason": "the reference hooks pesq/pystoi as optional imports "
+                  "(mcspp_base.py:394-403); neither package is installed in this "
+                  "image and installs are prohibited — stats/evaluation.py keeps "
+                  "the same optional hooks (pesq_score/stoi_score) and the "
+                  "SI-SDR/segSNR/silent-frame metrics above carry the evidence",
+    }
 
     if args.out:
         import jax

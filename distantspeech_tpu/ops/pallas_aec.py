@@ -304,6 +304,10 @@ def fused_aec(
         raise ValueError(f"fused_aec needs block_len % 128 == 0, got {hop}")
     if not (cfg.two_path and cfg.prop and cfg.constrain):
         raise ValueError("fused_aec implements the production two_path+prop+constrain AEC")
+    if 7 * x.shape[1] > 128:
+        # the Aux scratch packs 7 per-mic lane slots into one 128-lane tile
+        raise ValueError(
+            f"fused_aec supports at most 18 mics (7*M <= 128 aux lanes), got M={x.shape[1]}")
     B, M, Sx = x.shape
     T = Sx // hop
     x = x[..., : T * hop]
