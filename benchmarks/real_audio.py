@@ -191,8 +191,15 @@ def main():
         "gsc": lambda: gsc_process(
             xj, geom, ang, GscConfig(n_mics=4, normalize_aic=True, spp_rel_diag=1e-5)),
         "tdgsc": lambda: tdgsc_process(xj, geom, ang, TdGscConfig(n_mics=4))[0],
+        # the GSC-family vad_guard analogue (round 5): freeze the AIC where
+        # the RAW S/Smin indicator says speech — rescues the reference's
+        # 2L-frame MCRA warmup target cancellation (see TdGscConfig)
+        "tdgsc_guard": lambda: tdgsc_process(
+            xj, geom, ang, TdGscConfig(n_mics=4, vad_guard=True))[0],
         "fdgsc": lambda: fdgsc_process(xj, geom, ang, FdGscConfig(n_mics=4))[0],
         "subband_gsc": lambda: subband_gsc_process(xj, geom, ang, SubbandGscConfig(n_mics=4))[0],
+        "subband_gsc_warm130": lambda: subband_gsc_process(
+            xj, geom, ang, SubbandGscConfig(n_mics=4, aic_warmup_frames=130))[0],
         }
 
     fr = 256
@@ -277,6 +284,9 @@ def main():
                     "no reference composite exists: enhance = adaptivebeamfomer(method=2) "
                     "+ OMLSA gain built from mcspp_base.compute_omlsa_weight primitives; "
                     "compare against the 'mvdr' ref columns + the ablation rows")
+            for name, twin in (("tdgsc_guard", "tdgsc"), ("subband_gsc_warm130", "subband_gsc")):
+                results[vname]["pipelines"][name]["ref_note"] = (
+                    f"guard ablation beyond the reference; its twin is the '{twin}' row")
 
     # ---- blind real capture: rec1, no ground truth -------------------------
     chans = [load_audio(os.path.join(REC1, f)) for f in sorted(os.listdir(REC1))]

@@ -42,6 +42,18 @@ from distantspeech_tpu.transform.stft import istft_stream, stft_stream
 class SubbandGscConfig:
     n_mics: int = 4
     frame_len: int = 256
+    aic_freeze_thresh: float = 0.0  # > 0: HARD-freeze the AIC where the
+    # McSpp speech presence exceeds this threshold, instead of merely
+    # down-weighting by (1-p) — the reference's soft gate keeps the
+    # canceller adapting at ~half rate during speech whenever p is mushy
+    # (measured 0.3-0.6 on the real-speech mix).  0 matches the reference
+    # bit-exactly.
+    aic_warmup_frames: int = 0  # > 0: freeze the AIC for the first N
+    # frames while McSpp's noise tracks initialise (its p sits near 0 for
+    # ~2 s on captures that start mid-speech, so the canceller adapts on
+    # target-present frames; N = 130 measured +0.6 dB SI-SDR over the
+    # reference behaviour on the real-speech mixes, REAL_AUDIO.json).
+    # 0 matches the reference bit-exactly.
 
     @property
     def stft(self) -> StftConfig:
@@ -130,8 +142,13 @@ def subband_gsc_step(
     # --- AIC: multichannel SubbandLmsMc(bm_out -> delayed fbf), (1-p)-gated
     stft_aic_x, Uf = stft_stream(state.stft_aic_x, bm_out, scfg)  # [..., M, 1, F]
     stft_aic_d, Yf = stft_stream(state.stft_aic_d, fbf_d, scfg)  # [..., 1, F]
+    gate = 1.0 - p
+    if cfg.aic_freeze_thresh > 0.0:
+        gate = gate * (p <= cfg.aic_freeze_thresh)
+    if cfg.aic_warmup_frames > 0:
+        gate = gate * (state.spp.frm_cnt >= cfg.aic_warmup_frames)
     aic_state, e_aic = subband_lms_mc_step(
-        cfg.aic, state.aic, jnp.moveaxis(Uf[..., 0, :], -2, -1), Yf[..., 0, :], p=1.0 - p
+        cfg.aic, state.aic, jnp.moveaxis(Uf[..., 0, :], -2, -1), Yf[..., 0, :], p=gate
     )
     istft_aic, out = istft_stream(state.istft_aic, e_aic[..., None, :], scfg)
 

@@ -169,6 +169,7 @@ def _tdgsc_kernel(
     mu: float, alpha: float, sub: int,
     L: int, alpha_s: float, alpha_p: float, alpha_d: float, delta_s: float,
     p_min: float, p_max: float, unroll: int = 1, _stages: int = 7,
+    vad_guard: bool = False,
 ):
     """TDGSC core: in-VMEM MCRA on the FBF spectrum gates a non-causal
     multichannel FLMS canceller (TDGSC.py:110-172 + FastFreqLms.py:202-286).
@@ -194,12 +195,18 @@ def _tdgsc_kernel(
 
     def frame(t, _):
         tg = chunk_base + t
-        p_out, _, _ = _mcra_frame(
+        p_out, _, sr = _mcra_frame(
             tg, yp_ref[t, 0], sf_ref[t, 0], S, Smin, Stmp, Pp, Lam, interior,
             mask0, L=L, alpha_s=alpha_s, alpha_p=alpha_p, alpha_d=alpha_d,
             delta_s=delta_s, p_min=p_min, p_max=p_max,
         )
         gate_r = 1.0 - p_out  # per-bin stepsize (TDGSC.py:150)
+        if vad_guard:
+            # TdGscConfig.vad_guard: freeze the canceller where the RAW
+            # S/Smin indicator says speech (the scan path's edge bins never
+            # update S, so their guard is always open — matched here by the
+            # mask0/Nyquist overrides)
+            gate_r = gate_r * (sr <= delta_s)
         gate_i = jnp.where(mask0, 1.0 - p_min, gate_r)  # Nyquist p pinned
         p_ref[t, 0] = p_out
         if not _stages & 1:  # profiling: MCRA only
@@ -304,6 +311,7 @@ def fused_tdgsc(
         L=mc.L, alpha_s=mc.alpha_s, alpha_p=mc.alpha_p, alpha_d=mc.alpha_d,
         delta_s=mc.delta_s, p_min=mc.p_min, p_max=mc.p_max,
         unroll=(tc if unroll == "full" else int(unroll)), _stages=_stages,
+        vad_guard=cfg.vad_guard,
     )
     sig_spec = pl.BlockSpec((tc, C, sub, hop), lambda n, t: (t, 0, n, 0), memory_space=pltpu.VMEM)
     halo_spec = pl.BlockSpec((1, C, sub, hop), lambda n, t: (t * tc + tc, 0, n, 0), memory_space=pltpu.VMEM)
@@ -347,6 +355,7 @@ def fused_tdgsc(
             o_beta=om.beta, o_bmin=om.Bmin, o_eps=om.eps_tbrr, o_gh=om.gamma_high,
             o_gl=om.gamma_low, o_oh=om.omega_high, o_ol=om.omega_low,
             o_qmin=om.q_min, o_qmax=om.q_max, o_gmin=om.gmin,
+            vad_guard=cfg.vad_guard,
         )
         up_spec = pl.BlockSpec((tc, 1, C, sub, fl), lambda n, t: (t, n, 0, 0, 0), memory_space=pltpu.VMEM)
         Mch = 1 + C
@@ -719,6 +728,7 @@ def _tdgsc_pf_kernel(
     o_alpha_s: float, o_alpha_d: float, o_alpha_xi: float, o_beta: float,
     o_bmin: float, o_eps: float, o_gh: float, o_gl: float, o_oh: float,
     o_ol: float, o_qmin: float, o_qmax: float, o_gmin: float,
+    vad_guard: bool = False,
 ):
     """TDGSC with the OM-LSA-multi postfilter fused in (TDGSC.py:152-170 +
     omlsa_multi.py:73-160): the AIC output and the BM references stream
@@ -762,12 +772,14 @@ def _tdgsc_pf_kernel(
     def frame(t, _):
         tg = chunk_base + t
         is_first = tg == 0
-        p_out, _, _ = _mcra_frame(
+        p_out, _, sr = _mcra_frame(
             tg, yp_ref[t, 0], sf_ref[t, 0], S, Smin, Stmp, Pp, Lam, interior,
             mask0, L=L, alpha_s=alpha_s, alpha_p=alpha_p, alpha_d=alpha_d,
             delta_s=delta_s, p_min=p_min, p_max=p_max,
         )
         gate_r = 1.0 - p_out
+        if vad_guard:  # TdGscConfig.vad_guard (see _tdgsc_kernel)
+            gate_r = gate_r * (sr <= delta_s)
         gate_i = jnp.where(mask0, 1.0 - p_min, gate_r)
         p_ref[t, 0] = p_out
         e = _flms_gated_frame(

@@ -28,11 +28,21 @@ def si_sdr(est: np.ndarray, ref: np.ndarray) -> float:
     return float(10.0 * np.log10(np.maximum(num, 1e-20) / den))
 
 
-def best_aligned_si_sdr(est: np.ndarray, ref: np.ndarray, max_lag: int = 400) -> float:
+def best_aligned_si_sdr(est: np.ndarray, ref: np.ndarray, max_lag: int = 1024) -> float:
     """SI-SDR maximised over a two-sided lag search: enhanced outputs lag
     their references by an unknown pipeline-dependent number of samples
     (RIR delay + transform latency), and trimming conventions can also make
-    the estimate *lead*.  Lags that would leave no overlap are skipped."""
+    the estimate *lead*.  Lags that would leave no overlap are skipped.
+
+    ``max_lag`` must cover the largest pipeline latency being scored:
+    SubbandGSC delays its FBF path by a full frame before the AIC
+    (SubbandGSC.py:139 — ours: ops.delay.delay_samples in subband_gsc_step)
+    and the n_fft=512 STFT round-trip adds another 256, so its output lags
+    ~512 samples.  The old 400-sample default missed that, and a merely
+    *delayed* output scored as decorrelated: the round-4 REAL_AUDIO.json
+    "subband_gsc −21.4 dB" row was THIS metric artifact (both our and the
+    reference's outputs, delayed identically, scored −21); at a covering
+    lag the same outputs score ≈ +0.5 dB."""
     n = min(len(est), len(ref))
     best = -np.inf
     for l in range(min(max_lag, n)):

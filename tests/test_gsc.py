@@ -166,6 +166,26 @@ def test_subband_gsc_parity():
     np.testing.assert_allclose(np.asarray(out), out_ref, rtol=1e-5, atol=1e-6)
 
 
+def test_subband_gsc_guard_options():
+    """Round-5 conditioning knobs: aic_warmup_frames freezes the canceller
+    while McSpp initialises (its output then differs from the reference
+    path), aic_freeze_thresh hard-gates on p; defaults stay reference-exact
+    (covered by test_subband_gsc_parity)."""
+    x = _scene(M=4, S=256 * 10, seed=9)
+    geom = ArrayGeometry.circular(4, 0.032, c=343.0)
+    xj = jnp.asarray(x)
+    base = np.asarray(subband_gsc_process(xj, geom, cfg=SubbandGscConfig(n_mics=4))[0])
+    out_w = np.asarray(subband_gsc_process(
+        xj, geom, cfg=SubbandGscConfig(n_mics=4, aic_warmup_frames=5))[0])
+    assert np.all(np.isfinite(out_w))
+    assert np.max(np.abs(out_w - base)) > 1e-7 * np.max(np.abs(base))
+    # the hard threshold may or may not bind on this scene; it must stay
+    # finite and reduce to the reference behaviour when it never binds
+    out_f = np.asarray(subband_gsc_process(
+        xj, geom, cfg=SubbandGscConfig(n_mics=4, aic_freeze_thresh=0.999))[0])
+    assert np.all(np.isfinite(out_f))
+
+
 def test_gsc_normalized_aic_stable_f32():
     """The reference's unnormalised LMS canceller diverges on loud broadband
     input (sooner in complex64); the opt-in power normalisation — the

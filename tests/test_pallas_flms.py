@@ -48,6 +48,27 @@ def test_fused_tdgsc_matches_scan():
     np.testing.assert_allclose(np.asarray(bm1), np.asarray(bm2), atol=1e-6)
 
 
+def test_fused_tdgsc_vad_guard_matches_scan():
+    """The round-5 vad_guard (AIC frozen where raw S/Smin says speech)
+    follows the scan path bit-closely in-kernel.  A speech-like modulated
+    burst drives the indicator across its threshold so the guard actually
+    binds (verified: guarded and unguarded outputs differ)."""
+    rng = np.random.default_rng(3)
+    B, M, S = 8, 4, 4096
+    env = (np.sin(2 * np.pi * 5.0 * np.arange(S) / 16000) > 0).astype(np.float32)
+    x = rng.standard_normal((B, M, S)).astype(np.float32) * (0.2 + env)
+    x = jnp.asarray(x)
+    geom = ArrayGeometry.linear(4, 0.032)
+    cfg = TdGscConfig(n_mics=4, vad_guard=True)
+    o1, p1, _ = tdgsc_process(x, geom, ANG, cfg)
+    o2, p2, _ = fused_tdgsc(x, geom, ANG, cfg, interpret=True)
+    scale = np.max(np.abs(np.asarray(o1))) + 1e-12
+    assert np.max(np.abs(np.asarray(o1) - np.asarray(o2))) / scale < 1e-5
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-6)
+    o_ref = tdgsc_process(x, geom, ANG, TdGscConfig(n_mics=4))[0]
+    assert np.max(np.abs(np.asarray(o_ref) - np.asarray(o1))) / scale > 1e-4
+
+
 def test_fused_tdgsc_chunking_invariance():
     x = _scene(S=4096)
     geom = ArrayGeometry.linear(4, 0.032)
