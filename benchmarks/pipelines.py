@@ -125,6 +125,9 @@ def main():
         "binaural_2mic": (lambda x: binaural_process(x, geom2, BinauralConfig())[0], mk_x(2)),
         "subband_gsc_4mic": (
             lambda x: subband_gsc_process(x, geom4, ang, SubbandGscConfig(n_mics=4))[0], mk_x(4)),
+        "subband_gsc_fused_4mic": (
+            lambda x: subband_gsc_process(
+                x, geom4, ang, SubbandGscConfig(n_mics=4), backend="fused")[0], mk_x(4)),
         "dios_gsc_4mic": (
             lambda x: dios_gsc_process(
                 x, jnp.asarray(time_alignment_coeffs), DiosGscConfig(n_mics=4))[0], mk_x(4)),
@@ -224,6 +227,12 @@ def main():
                 lambda x: kws_process(x, DualMicKwsConfig()),
                 lambda x: _kws_fused(jnp.tile(x, (4, 1, 1)))[:2],
                 2, 1e-3),
+            "subband_gsc_fused_4mic": (
+                lambda x: subband_gsc_process(x, geom4, ang, SubbandGscConfig(n_mics=4))[0],
+                lambda x: subband_gsc_process(
+                    jnp.tile(x, (4, 1, 1)), geom4, ang,
+                    SubbandGscConfig(n_mics=4), backend="fused")[0][:2],
+                4, 2e-2),
             "enhance_pallas_8mic": (
                 lambda x: enhance_process(x, geom8, (90.0, 0.0)),
                 lambda x: enhance_process(jnp.tile(x, (4, 1, 1)), geom8,

@@ -268,11 +268,18 @@ def dios_gsc_process(
     import jax as _jax
 
     seg = cfg.seg
-    T = x.shape[-1] // seg
+    # the scan steps SEGMENT PAIRS (the ABM's processing cadence,
+    # sigsoverlap / abm_fftoverlap = 2): the reference recomputes and
+    # discards the whole ABM block on every odd segment (the do_proc mask
+    # pattern of dios_ssp_gsc_abm.py:226-239) — stepping pairs runs
+    # ``_abm_block`` exactly once per adaptation and halves the scan
+    # length, bit-identically (tests/test_dios_gsc.py::test_dios_process_pairing)
+    T = x.shape[-1] // (2 * seg) * 2
     if ctrl_abm is None:
         ctrl_abm = jnp.ones((T, cfg.half_bin), dtype=x.dtype)
     if ctrl_aic is None:
         ctrl_aic = jnp.ones((T, cfg.half_bin), dtype=x.dtype)
+    ctrl_abm, ctrl_aic = ctrl_abm[:T], ctrl_aic[:T]
 
     from distantspeech_tpu.ops.fir import fir_filter_block
 
@@ -282,17 +289,43 @@ def dios_gsc_process(
         aic=dios_aic_init(cfg, x.shape[:-2], dtype=x.dtype),
         fir_cache=jnp.zeros((*x.shape[:-1], K - 1), dtype=x.dtype),
     )
-    xb = jnp.moveaxis(x[..., : T * seg].reshape(*x.shape[:-1], T, seg), -2, 0)  # [T, ..., M, seg]
+    xb = jnp.moveaxis(
+        x[..., : T * seg].reshape(*x.shape[:-1], T // 2, 2 * seg), -2, 0
+    )  # [T/2, ..., M, 2*seg]
+    ca2 = ctrl_abm.reshape(T // 2, 2, cfg.half_bin)
+    ci2 = ctrl_aic.reshape(T // 2, 2, cfg.half_bin)
 
-    def step(st, inp):
-        blk, ca, ci = inp
-        fir_cache, aligned = fir_filter_block(st.fir_cache, blk, coeffs)
-        fbf = jnp.mean(aligned, axis=-2)
-        abm_st, bm_seg = dios_abm_step(cfg, st.abm, aligned, fbf, ca, ci)  # [..., seg, M]
-        aic_st, out_seg = dios_aic_step(cfg, st.aic, jnp.moveaxis(bm_seg, -1, -2), fbf, ca, ci)
-        return DiosGscState(abm=abm_st, aic=aic_st, fir_cache=fir_cache), (out_seg, bm_seg)
+    def pair_step(st, inp):
+        blk2, ca, ci = inp
+        fir_cache, aligned2 = fir_filter_block(st.fir_cache, blk2, coeffs)
+        fbf2 = jnp.mean(aligned2, axis=-2)  # [..., 2*seg]
+        alA, alB = aligned2[..., :seg], aligned2[..., seg:]
+        fbfA, fbfB = fbf2[..., :seg], fbf2[..., seg:]
 
-    _, (out, bm) = _jax.lax.scan(step, state, (xb, ctrl_abm, ctrl_aic))
+        # -- segment A (count 0 -> 1): push only; output = pending E tail --
+        abm = st.abm
+        Xdline = _delayline(abm.Xdline, alA)
+        xrefdline = _delayline(abm.xrefdline, fbfA)
+        bmA = jnp.moveaxis(abm.E[..., seg:], -1, -2)  # [..., seg, M]
+        aic_st, outA = dios_aic_step(cfg, st.aic, jnp.moveaxis(bmA, -1, -2), fbfA, ca[..., 0, :], ci[..., 0, :])
+
+        # -- segment B (count 1 -> 0): push + process one ABM block --------
+        Xdline = _delayline(Xdline, alB)
+        xrefdline = _delayline(xrefdline, fbfB)
+        st_mid = abm._replace(Xdline=Xdline, xrefdline=xrefdline)
+        sf, E, hf = _abm_block(cfg, st_mid, ca[..., 1, :], ci[..., 1, :])
+        bmB = jnp.moveaxis(E[..., :seg], -1, -2)
+        aic_st, outB = dios_aic_step(cfg, aic_st, jnp.moveaxis(bmB, -1, -2), fbfB, ca[..., 1, :], ci[..., 1, :])
+
+        abm_st = DiosAbmState(
+            Xdline=Xdline, xrefdline=xrefdline, hf=hf, sf=sf, E=E,
+            count=jnp.asarray(0, jnp.int32),
+        )
+        out2 = jnp.concatenate([outA, outB], axis=-1)  # [..., 2*seg]
+        bm2 = jnp.concatenate([bmA, bmB], axis=-2)  # [..., 2*seg, M]
+        return DiosGscState(abm=abm_st, aic=aic_st, fir_cache=fir_cache), (out2, bm2)
+
+    _, (out, bm) = _jax.lax.scan(pair_step, state, (xb, ca2, ci2))
     out = jnp.moveaxis(out, 0, -2).reshape(*x.shape[:-2], T * seg)
     bm = jnp.moveaxis(bm, 0, -3).reshape(*x.shape[:-2], T * seg, cfg.n_mics)
     return out, bm

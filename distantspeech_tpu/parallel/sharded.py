@@ -235,18 +235,21 @@ def make_sharded_subband_gsc(
         dp = lambda leaf: jax.lax.with_sharding_constraint(
             leaf, NamedSharding(mesh, P("dp", *([None] * (leaf.ndim - 1))))
         )
+        core = state.core
+        core = core._replace(
+            spp=_constrain_state(mesh, core.spp, f_axis=1),
+            bm=_constrain_state(mesh, core.bm, f_axis=2),  # leading mic axis
+            istft_bm=dp(core.istft_bm),
+            aic=_constrain_state(mesh, core.aic, f_axis=1),
+            stft_aic_x=dp(core.stft_aic_x),
+            istft_aic=dp(core.istft_aic),
+        )
         return SubbandGscState(
             stft_al=dp(state.stft_al),
-            spp=_constrain_state(mesh, state.spp, f_axis=1),
-            bm=_constrain_state(mesh, state.bm, f_axis=2),  # leading mic axis
-            stft_bm_x=dp(state.stft_bm_x),
-            stft_bm_d=dp(state.stft_bm_d),
-            istft_bm=dp(state.istft_bm),
-            aic=_constrain_state(mesh, state.aic, f_axis=1),
-            stft_aic_x=dp(state.stft_aic_x),
-            stft_aic_d=dp(state.stft_aic_d),
-            istft_aic=dp(state.istft_aic),
+            stft_fbf=dp(state.stft_fbf),
             delay_fbf=dp(state.delay_fbf),
+            stft_fbf_d=dp(state.stft_fbf_d),
+            core=core,
         )
 
     @jax.jit

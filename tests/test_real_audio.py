@@ -132,6 +132,22 @@ def test_real_subband_gsc_parity():
     np.testing.assert_allclose(np.asarray(out), out_ref, rtol=1e-5, atol=1e-7)
 
 
+def test_real_subband_gsc_fused_matches_scan():
+    """The fused SubbandGSC kernel (McSpp covariances + inverses in VMEM,
+    interpret mode) on real 4-mic speech: the CDR/MCRA tracks, warm-frame
+    Phi_vv seeding and the xi<0 repair selection follow the scan path on
+    actual speech statistics."""
+    x32 = np.asarray(_rec1(n_blocks=48), dtype=np.float32)
+    xb = jnp.asarray(np.broadcast_to(x32, (8, *x32.shape)).copy())
+    geom = ArrayGeometry.circular(4, 0.032, c=343.0)
+    cfg = SubbandGscConfig(n_mics=4)
+    o1, p1, _ = subband_gsc_process(xb, geom, cfg=cfg)
+    o2, p2, _ = subband_gsc_process(xb, geom, cfg=cfg, backend="fused")
+    scale = np.max(np.abs(np.asarray(o1))) + 1e-12
+    assert np.max(np.abs(np.asarray(o1) - np.asarray(o2))) / scale < 1e-3
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=5e-3)
+
+
 def test_real_mvdr_parity():
     """Adaptive MVDR + MCRA on the CMU an101 8-mic array recording."""
     refutil.patch_beamformer_base()
