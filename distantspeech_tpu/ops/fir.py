@@ -1,18 +1,39 @@
 """Streaming multichannel FIR filtering.
 
 Oracle: fir_filter (/root/reference/DistantSpeech/beamformer/fixedbeamformer.py:13-48)
-— the reference runs an O(samples * taps) per-channel scalar loop per block;
-here the whole block convolves at once via a grouped ``lax.conv`` (one
-channel's taps never mix into another's), with the K-1 tail samples carried
-between blocks exactly like the reference's ``fir_cache``.
+— the reference runs an O(samples * taps) per-channel scalar loop per block.
+
+TPU formulation: the convolution is a block-Toeplitz MATMUL, not a
+``lax.conv``.  Grouped small-channel 1-D convolutions lower onto the TPU's
+convolution path with per-group dispatch and dominated every GSC-family
+pipeline: the 84-tap 4-channel time alignment alone measured **11.2 ms**
+of the 24 ms fused-SubbandGSC iteration at B=32 (round-5 profile) — ~70x
+off the MXU roofline.  Expressing each output block as
+``window @ T`` with ``T[i, o] = flip(coeffs)[i - o]`` runs the same math
+as one well-shaped MXU contraction per channel (the house pattern: see
+transform.stft's windowed-DFT matmuls and ops.iir's blocked state-space).
+The K-1 tail samples are carried between blocks exactly like the
+reference's ``fir_cache``.
 """
 
 from __future__ import annotations
 
 from typing import Tuple
 
-import jax
 import jax.numpy as jnp
+
+
+def _tap_matrix(coeffs: jnp.ndarray, W: int, L: int) -> jnp.ndarray:
+    """[C, W, L] block-Toeplitz response: T[c, i, o] = flip(coeffs)[c, i-o]
+    (zero outside 0 <= i-o < K), so ``window[o:o+K] . flip(coeffs)`` is the
+    column-o matvec.  Built on device (coeffs may be traced); negligible
+    next to the matmuls it feeds."""
+    K = coeffs.shape[-1]
+    fc = jnp.flip(coeffs, axis=-1)
+    d = jnp.arange(W)[:, None] - jnp.arange(L)[None, :]
+    valid = (d >= 0) & (d < K)
+    t = jnp.take(fc, jnp.clip(d, 0, K - 1), axis=-1)  # [C, W, L]
+    return jnp.where(valid, t, jnp.zeros_like(t))
 
 
 def fir_filter_block(
@@ -28,23 +49,28 @@ def fir_filter_block(
     """
     K = coeffs.shape[-1]
     ext = jnp.concatenate([cache, x], axis=-1)  # [..., C, K-1+L]
-    C = coeffs.shape[0]
-    batch = ext.shape[:-2]
-    lhs = ext.reshape((-1, C, ext.shape[-1]))  # [N, C, S]
-    rhs = jnp.flip(coeffs, axis=-1)[:, None, :]  # [C, 1, K] per-group kernel
-    y = jax.lax.conv_general_dilated(
-        lhs, rhs.astype(lhs.dtype),
-        window_strides=(1,), padding="VALID",
-        dimension_numbers=("NCH", "OIH", "NCH"),
-        feature_group_count=C,
-    )
-    y = y.reshape((*batch, C, -1))
+    L = x.shape[-1]
+    T = _tap_matrix(coeffs.astype(x.dtype), K - 1 + L, L)
+    y = jnp.einsum("...cw,cwo->...co", ext, T, precision="highest")
     return ext[..., -(K - 1):] if K > 1 else cache, y
 
 
-def fir_filter_offline(x: jnp.ndarray, coeffs: jnp.ndarray) -> jnp.ndarray:
-    """Whole-utterance causal FIR from zero cache: x [..., C, S] -> [..., C, S]."""
+def fir_filter_offline(x: jnp.ndarray, coeffs: jnp.ndarray, block: int = 128) -> jnp.ndarray:
+    """Whole-utterance causal FIR from zero cache: x [..., C, S] -> [..., C, S].
+
+    Internally blocked so each window is built from two adjacent blocks
+    (two slices + a concat — no gather materialisation); ``block`` trades
+    redundant window FLOPs (W = block + K - 1 MACs per output) against
+    matmul shape, and must satisfy block >= K - 1."""
     K = coeffs.shape[-1]
-    cache = jnp.zeros((*x.shape[:-1], K - 1), dtype=x.dtype)
-    _, y = fir_filter_block(cache, x, coeffs)
-    return y
+    S = x.shape[-1]
+    Lb = block
+    while Lb < K - 1:  # window build needs the halo inside one prior block
+        Lb *= 2
+    nblk = -(-S // Lb)
+    ext = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(Lb, nblk * Lb - S)])
+    xb = ext.reshape(*x.shape[:-1], nblk + 1, Lb)
+    win = jnp.concatenate([xb[..., :-1, Lb - (K - 1):], xb[..., 1:, :]], axis=-1)
+    T = _tap_matrix(coeffs.astype(x.dtype), K - 1 + Lb, Lb)
+    y = jnp.einsum("...cnw,cwo->...cno", win, T, precision="highest")
+    return y.reshape(*x.shape[:-1], nblk * Lb)[..., :S]

@@ -138,10 +138,25 @@ def _phi_full(diag, off, zero):
     return M
 
 
+def _bulk_analysis_fullbin(sig_ref, halo_ref, csf_ref, Zr, Zi, nch, Tc, sub, hop, fpad):
+    """Z_t = [b_{t-1} | b_t] @ CSF for every frame of the chunk, two MXU
+    dots per channel (the analysis inputs are input-only — the
+    pallas_flms._bulk_analysis pattern in the full-bin layout)."""
+    for c in range(nch):
+        a1 = sig_ref[:, c]  # [Tc, sub, hop] = blocks t-1 (pre-padded)
+        a2 = jnp.concatenate([a1[1:], halo_ref[:, c]], axis=0)
+        z = _dot(a1.reshape(Tc * sub, hop), csf_ref[:hop])
+        z = z + _dot(a2.reshape(Tc * sub, hop), csf_ref[hop:])
+        z = z.reshape(Tc, sub, 2 * fpad)
+        Zr[c] = z[:, :, :fpad]
+        Zi[c] = z[:, :, fpad:]
+
+
 def _sgsc_kernel(
-    dr_ref, di_ref, xfr_ref, xfi_ref, sf_ref,  # inputs
+    sig_ref, halo_ref, sf_ref,  # inputs
     fn_ref, csf_ref, abf_ref,  # constants
     out_ref, p_ref, bm_ref,  # outputs
+    Zr, Zi,  # analysis scratch [C+1, Tc, sub, fpad]
     PhiY, PhiV, Msc, Mc, Wbm, Pbm, XfP, OlaBm, UPrev, Waic, UBuf, Paic, OlaOut,  # scratch
     *, Tc: int, C: int, F: int, fpad: int, hop: int, n_fft: int,
     sp_alpha: float, sp_alpha_d: float, diag_min: float, diag_max: float,
@@ -159,7 +174,12 @@ def _sgsc_kernel(
         for ref in (PhiY, PhiV, Msc, Mc, Wbm, Pbm, XfP, OlaBm, UPrev, Waic, UBuf, Paic, OlaOut):
             ref[...] = jnp.zeros_like(ref)
 
-    lane = jax.lax.broadcasted_iota(jnp.int32, (dr_ref.shape[-2], fpad), 1)
+    # in-kernel analysis of the C mics + the FBF (channel C): the scan's
+    # stft_stream of aligned/fbf, as bulk dots on the raw time blocks
+    _bulk_analysis_fullbin(sig_ref, halo_ref, csf_ref[...], Zr, Zi, C + 1,
+                           Tc, sig_ref.shape[-2], hop, fpad)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (sig_ref.shape[-2], fpad), 1)
     valid = lane < F
     interior = (lane >= 1) & (lane <= F - 2)
     mask0 = lane == 0
@@ -172,8 +192,8 @@ def _sgsc_kernel(
 
     def frame(t, _):
         tg = chunk_base + t
-        d = [(dr_ref[t, 0, c], di_ref[t, 0, c]) for c in range(C)]
-        Xf = (xfr_ref[t, 0], xfi_ref[t, 0])
+        d = [(Zr[c, t], Zi[c, t]) for c in range(C)]
+        Xf = (Zr[C, t], Zi[C, t])
         XfPrev = (XfP[0], XfP[1])  # = Xf_{t-1} = this frame's delayed-FBF Yf
 
         # ---- McCDR (mccdr.py:126-182): pair-(1,2) coherence x MCRA -------
@@ -413,10 +433,13 @@ def fused_subband_gsc(
     coeffs = jnp.asarray(np.asarray(time_alignment_filters(geometry, angle_rad)), dtype=x.dtype)
     aligned = fir_filter_offline(xn, coeffs)[..., : T * L]
     fbf = jnp.mean(aligned, axis=-2)
-    pad = [(0, 0), (0, 0), (scfg.overlap, 0)]
-    D_all = stft_frames(jnp.pad(aligned, pad), scfg)  # [B, M, T, F] complex
-    Xf_all = stft_frames(jnp.pad(fbf, pad[1:]), scfg)  # [B, T, F]
-    P0 = jnp.real(D_all[:, 0]) ** 2 + jnp.imag(D_all[:, 0]) ** 2  # [B, T, F]
+    # only the MCRA's frequency-smoothed mic-0 power is precomputed (its
+    # 3-tap bin smoothing is cross-lane); the mic/FBF spectra are analysed
+    # IN-KERNEL from raw time blocks — shipping precomputed complex spectra
+    # cost more than the kernel itself (~16 of 25 ms at B=32: the [B,M,T,F]
+    # complex materialisation + transposes are pure HBM traffic)
+    P0c = stft_frames(jnp.pad(aligned[:, 0], [(0, 0), (scfg.overlap, 0)]), scfg)
+    P0 = jnp.real(P0c) ** 2 + jnp.imag(P0c) ** 2  # [B, T, F]
     Sf = _freq_smooth(P0, cfg.spp.mccdr.mcra.b)
 
     tc = t_chunk or _pick_t_chunk(T, 16) or 16
@@ -427,16 +450,14 @@ def fused_subband_gsc(
         a = jnp.pad(a, [(0, Tp - T), (0, 0), (0, fpad - F)])
         return a.reshape(Tp, nb, sub, fpad)
 
-    def tiles4(a):  # [B, M, T, F] -> [Tp, nb, C, sub, fpad]
-        a = jnp.transpose(a, (2, 0, 1, 3))  # [T, B, M, F]
-        a = jnp.pad(a, [(0, Tp - T), (0, 0), (0, 0), (0, fpad - F)])
-        return a.reshape(Tp, nb, sub, C, fpad).swapaxes(2, 3)
-
-    dr_in = tiles4(jnp.real(D_all))
-    di_in = tiles4(jnp.imag(D_all))
-    xfr_in = tiles3(jnp.real(Xf_all))
-    xfi_in = tiles3(jnp.imag(Xf_all))
     sf_in = tiles3(Sf)
+    # time blocks, pre-padded one hop (frame t = [b_{t-1} | b_t]); channel
+    # C is the FBF so Xf comes from the same in-kernel analysis pass
+    al5 = jnp.concatenate([aligned, fbf[:, None, :]], axis=1)  # [B, C+1, S]
+    sig = jnp.pad(al5, [(0, 0), (0, 0), (hop, 0)]).reshape(B, C + 1, T + 1, hop)
+    if Tp != T:
+        sig = jnp.pad(sig, [(0, 0), (0, 0), (0, Tp - T), (0, 0)])
+    sig = jnp.transpose(sig, (2, 1, 0, 3))  # [Tp+1, C+1, B, hop]
 
     mc = cfg.spp.mccdr.mcra
     sp = cfg.spp
@@ -459,7 +480,11 @@ def fused_subband_gsc(
     tile = lambda last: pl.BlockSpec((tc, 1, sub, last), lambda n, t: (t, n, 0, 0), memory_space=pltpu.VMEM)
     tile_c = lambda last: pl.BlockSpec((tc, 1, C, sub, last), lambda n, t: (t, n, 0, 0, 0), memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda n, t: tuple([0] * len(shape)), memory_space=pltpu.VMEM)
+    sig_spec = pl.BlockSpec((tc, C + 1, sub, hop), lambda n, t: (t, 0, n, 0), memory_space=pltpu.VMEM)
+    halo_spec = pl.BlockSpec((1, C + 1, sub, hop), lambda n, t: (t * tc + tc, 0, n, 0), memory_space=pltpu.VMEM)
     scratch = [
+        pltpu.VMEM((C + 1, tc, sub, fpad), jnp.float32),  # Zr
+        pltpu.VMEM((C + 1, tc, sub, fpad), jnp.float32),  # Zi
         pltpu.VMEM((16, sub, fpad), jnp.float32),  # PhiY
         pltpu.VMEM((16, sub, fpad), jnp.float32),  # PhiV
         pltpu.VMEM((4, sub, fpad), jnp.float32),  # Msc
@@ -480,7 +505,7 @@ def fused_subband_gsc(
     out, p_out, bm_out = pl.pallas_call(
         kern,
         grid=(nb, Tp // tc),
-        in_specs=[tile_c(fpad), tile_c(fpad), tile(fpad), tile(fpad), tile(fpad),
+        in_specs=[sig_spec, halo_spec, tile(fpad),
                   const(Fn_in.shape), const(CSF.shape), const(ABF.shape)],
         out_specs=[tile(hop), tile(fpad), tile_c(hop)],
         out_shape=[
@@ -491,7 +516,7 @@ def fused_subband_gsc(
         scratch_shapes=scratch,
         interpret=interpret,
         compiler_params=params,
-    )(dr_in, di_in, xfr_in, xfi_in, sf_in, jnp.asarray(Fn_in), jnp.asarray(CSF), jnp.asarray(ABF))
+    )(sig, sig, sf_in, jnp.asarray(Fn_in), jnp.asarray(CSF), jnp.asarray(ABF))
 
     out = out[:T].reshape(T, B, hop)
     out = jnp.moveaxis(out, 0, 1).reshape(B, T * hop)
