@@ -56,6 +56,21 @@ def main(args):
         print(f"[{name}] p50={rep['p50_ms']}ms p95={rep['p95_ms']}ms "
               f"overflows={rep['overflows']} rt_factor={rep['realtime_factor']}", file=sys.stderr)
 
+    # measured transport floor: an IDENTITY step driven through the same
+    # loop.  If the pipelines' p50s sit at this number, per-chunk latency is
+    # host<->device-transport-bound and a faster per-chunk kernel cannot
+    # reduce it (the round-4 verdict asked for fused streaming steps; this
+    # measurement is the decision evidence).
+    import jax.numpy as jnp
+
+    from distantspeech_tpu.runtime.streaming import StreamingProcessor
+
+    ident = StreamingProcessor(
+        lambda s, c: (s, jnp.mean(c, axis=0)), jnp.zeros(()), chunk_size=chunk, fs=fs)
+    assert ident.run(wav_chunks(x, chunk)) is not None
+    reports["_identity_floor"] = ident.latency_report(skip_warmup=2)
+    print(f"[_identity_floor] p50={reports['_identity_floor']['p50_ms']}ms", file=sys.stderr)
+
     top = dict(reports.get("enhance", reports[names[0]]))
     top["platform"] = jax.devices()[0].platform
     top["n_mics"] = M

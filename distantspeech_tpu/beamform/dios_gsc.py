@@ -281,9 +281,10 @@ def dios_gsc_process(
         ctrl_aic = jnp.ones((T, cfg.half_bin), dtype=x.dtype)
     ctrl_abm, ctrl_aic = ctrl_abm[:T], ctrl_aic[:T]
 
-    from distantspeech_tpu.ops.fir import fir_filter_block
+    from distantspeech_tpu.ops.fir import fir_block_taps, fir_filter_block
 
     K = coeffs.shape[-1]
+    taps2 = fir_block_taps(coeffs, 2 * seg)  # built once, outside the scan
     state = DiosGscState(
         abm=dios_abm_init(cfg, x.shape[:-2], dtype=x.dtype),
         aic=dios_aic_init(cfg, x.shape[:-2], dtype=x.dtype),
@@ -297,7 +298,7 @@ def dios_gsc_process(
 
     def pair_step(st, inp):
         blk2, ca, ci = inp
-        fir_cache, aligned2 = fir_filter_block(st.fir_cache, blk2, coeffs)
+        fir_cache, aligned2 = fir_filter_block(st.fir_cache, blk2, taps2)
         fbf2 = jnp.mean(aligned2, axis=-2)  # [..., 2*seg]
         alA, alB = aligned2[..., :seg], aligned2[..., seg:]
         fbfA, fbfB = fbf2[..., :seg], fbf2[..., seg:]

@@ -36,6 +36,15 @@ def _tap_matrix(coeffs: jnp.ndarray, W: int, L: int) -> jnp.ndarray:
     return jnp.where(valid, t, jnp.zeros_like(t))
 
 
+def fir_block_taps(coeffs: jnp.ndarray, L: int) -> jnp.ndarray:
+    """Precompute the [C, K-1+L, L] block-Toeplitz matrix for
+    ``fir_filter_block`` calls with L-sample blocks.  Build this ONCE
+    outside any ``lax.scan`` and pass it as the ``coeffs`` argument —
+    built inside a scan body the gather is re-executed every step (it cost
+    a measured 35 ms/iteration on the full-stack scan at B=32)."""
+    return _tap_matrix(coeffs, coeffs.shape[-1] - 1 + L, L)
+
+
 def fir_filter_block(
     cache: jnp.ndarray, x: jnp.ndarray, coeffs: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -43,14 +52,20 @@ def fir_filter_block(
 
     cache: [..., C, K-1] carried input tail; x: [..., C, L] block;
     coeffs: [C, K] per-channel taps (tap 0 oldest, like the reference's
-    column layout before its flipud).
+    column layout before its flipud) — or the precomputed [C, K-1+L, L]
+    matrix from ``fir_block_taps`` (REQUIRED for calls inside a scan body,
+    see there).
     Returns (new_cache [..., C, K-1], y [..., C, L]) where
     y[n] = sum_k flip(coeffs)[k] * ext[n + k],  ext = [cache, x].
     """
-    K = coeffs.shape[-1]
-    ext = jnp.concatenate([cache, x], axis=-1)  # [..., C, K-1+L]
     L = x.shape[-1]
-    T = _tap_matrix(coeffs.astype(x.dtype), K - 1 + L, L)
+    if coeffs.ndim == 3:
+        T = coeffs.astype(x.dtype)
+        K = T.shape[-2] - L + 1
+    else:
+        K = coeffs.shape[-1]
+        T = _tap_matrix(coeffs.astype(x.dtype), K - 1 + L, L)
+    ext = jnp.concatenate([cache, x], axis=-1)  # [..., C, K-1+L]
     y = jnp.einsum("...cw,cwo->...co", ext, T, precision="highest")
     return ext[..., -(K - 1):] if K > 1 else cache, y
 

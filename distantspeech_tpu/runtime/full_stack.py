@@ -137,7 +137,10 @@ def full_stack_process(
     # keep the host copy for init: converting via jnp under an outer jit
     # would make coeffs a tracer and break the static shape derivation
     coeffs_np = np.asarray(time_alignment_filters(geometry, angle_rad))
-    coeffs = jnp.asarray(coeffs_np, dtype=x.dtype)
+    from distantspeech_tpu.ops.fir import fir_block_taps
+
+    # Toeplitz tap matrix built ONCE outside the scan (see fir_block_taps)
+    coeffs = fir_block_taps(jnp.asarray(coeffs_np, dtype=x.dtype), L)
 
     xb = jnp.moveaxis(x[..., : T * L].reshape(*x.shape[:-1], T, L), -2, 0)  # [T, ..., M, L]
     fb = jnp.moveaxis(far_end[..., : T * L].reshape(*far_end.shape[:-1], T, L), -2, 0)

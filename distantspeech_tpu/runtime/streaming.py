@@ -386,12 +386,17 @@ def make_full_stack_stream(
     coeffs_np = np.asarray(time_alignment_filters(geometry, angle_rad), dtype=np.float32)
     J = chunk_size // L
 
+    from distantspeech_tpu.ops.fir import fir_block_taps
+
+    # Toeplitz taps precomputed outside the per-chunk scan (fir_block_taps)
+    taps = fir_block_taps(jnp.asarray(coeffs_np), L)
+
     def step(state, chunk):
         x, far = chunk[:-1], chunk[-1]
         xb = jnp.moveaxis(x.reshape(M, J, L), 1, 0)  # [J, M, L]
         fb = far.reshape(J, L)
         state, (out, _, _) = jax.lax.scan(
-            lambda s, blk: full_stack_step(cfg, jnp.asarray(coeffs_np), s, blk[0], blk[1]),
+            lambda s, blk: full_stack_step(cfg, taps, s, blk[0], blk[1]),
             state, (xb, fb),
         )
         return state, out.reshape(-1)
