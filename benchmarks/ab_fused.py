@@ -91,9 +91,12 @@ def main():
             "b3_B32_s32": jax.jit(lambda x: fused_enhance_full(x, steer, cfg, mxu="bf16x3", sub=32)),
             "b3_B64": jax.jit(lambda x: fused_enhance_full(x, steer, cfg, mxu="bf16x3")),
             "b3_B64_s32": jax.jit(lambda x: fused_enhance_full(x, steer, cfg, mxu="bf16x3", sub=32)),
+            "b3_B64_s64": jax.jit(lambda x: fused_enhance_full(x, steer, cfg, mxu="bf16x3", sub=64)),
             "b3_B128_s32": jax.jit(lambda x: fused_enhance_full(x, steer, cfg, mxu="bf16x3", sub=32)),
+            "b3_B128_s64": jax.jit(lambda x: fused_enhance_full(x, steer, cfg, mxu="bf16x3", sub=64)),
         }
-        batch_sizes = {"b3_B32_s32": 32, "b3_B64": 64, "b3_B64_s32": 64, "b3_B128_s32": 128}
+        batch_sizes = {"b3_B32_s32": 32, "b3_B64": 64, "b3_B64_s32": 64,
+                       "b3_B64_s64": 64, "b3_B128_s32": 128, "b3_B128_s64": 128}
 
     # ---- parity gates (compile at gate shape first; fail fast) -------------
     if args.parts or args.batch_sweep:

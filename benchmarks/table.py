@@ -33,6 +33,7 @@ LABELS = {
     "fdgsc_4mic": "FDGSC scan",
     "mvdr_8mic": "MVDR (8 mic, scan)",
     "subband_gsc_4mic": "**SubbandGSC (4 mic)**",
+    "subband_gsc_fused_4mic": "**SubbandGSC fused kernel (McSpp in VMEM)**",
     "full_stack_4mic": "full stack scan",
     "srp_8mic": "SRP-PHAT DOA (8 mic)",
     "enhance_scan_8mic": "enhance scan",

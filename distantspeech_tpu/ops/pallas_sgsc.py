@@ -394,13 +394,19 @@ def fused_subband_gsc(
     cfg=None,
     interpret: bool = None,
     t_chunk: int = None,
-    sub: int = _SUB,
+    sub: int = None,
 ):
     """Fused SubbandGSC: same signature/returns as
     ``beamform.subband_gsc.subband_gsc_process`` — (out [B, S'], p [B, T, F],
     bm [B, M, S']).  x: [B, M, S] with B % sub == 0, M == 4 (the McSpp 4x4
     elimination is unrolled; the reference itself is 4-channel-only,
-    mcspp.py:54)."""
+    mcspp.py:54).
+
+    ``sub`` defaults to 16 batch rows per vreg tile when B allows (measured
+    14.0k vs 10.1k audio-s/s at sub=8, B=32 — wider tiles amortise the
+    VPU instruction issue of the unrolled 4x4 eliminations); the VMEM-fit
+    frame chunk shrinks correspondingly (sub=32 exceeds the 16 MB scoped
+    limit)."""
     from distantspeech_tpu.adaptive.feature import dc_notch, dc_notch_init
     from distantspeech_tpu.array.alignment import time_alignment_filters
     from distantspeech_tpu.beamform.subband_gsc import SubbandGscConfig
@@ -412,6 +418,8 @@ def fused_subband_gsc(
         cfg = SubbandGscConfig()
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
+    if sub is None:
+        sub = 16 if (x.ndim == 3 and x.shape[0] % 16 == 0) else _SUB
     if x.ndim != 3 or x.shape[0] % sub:
         raise ValueError(f"fused_subband_gsc needs x [B, M, S] with B % {sub} == 0, got {x.shape}")
     if cfg.n_mics != 4:
@@ -442,7 +450,8 @@ def fused_subband_gsc(
     P0 = jnp.real(P0c) ** 2 + jnp.imag(P0c) ** 2  # [B, T, F]
     Sf = _freq_smooth(P0, cfg.spp.mccdr.mcra.b)
 
-    tc = t_chunk or _pick_t_chunk(T, 16) or 16
+    cap = 16 if sub <= 8 else 8  # VMEM-fit chunk shrinks with tile width
+    tc = t_chunk or _pick_t_chunk(T, cap) or cap
     Tp = -(-T // tc) * tc
 
     def tiles3(a):  # [B, T, F] -> [Tp, nb, sub, fpad]
