@@ -64,3 +64,39 @@ def test_affine_recurrence_matches_loop():
         want[n] = s
     got = affine_recurrence(jnp.asarray(A), jnp.asarray(b), jnp.asarray(s0))
     np.testing.assert_allclose(np.asarray(got), want, rtol=1e-8, atol=1e-10)
+
+
+def test_fir_taps_matrix_paths_agree():
+    """The three FIR entry points — per-block with raw coeffs, per-block
+    with a precomputed fir_block_taps matrix (the scan-body form), and the
+    blocked offline driver — produce the same causal convolution as a
+    NumPy reference."""
+    import jax.numpy as jnp
+
+    from distantspeech_tpu.ops.fir import fir_block_taps, fir_filter_block, fir_filter_offline
+
+    rng = np.random.default_rng(11)
+    C, K, L, nblk = 3, 17, 64, 5
+    coeffs = rng.standard_normal((C, K))
+    x = rng.standard_normal((C, L * nblk))
+
+    # NumPy causal reference: y[n] = sum_k flip(c)[k] * ext[n+k]
+    ext = np.concatenate([np.zeros((C, K - 1)), x], axis=-1)
+    y_ref = np.stack([np.convolve(ext[c], coeffs[c])[K - 1 : K - 1 + x.shape[-1]]
+                      for c in range(C)])
+
+    y_off = np.asarray(fir_filter_offline(jnp.asarray(x), jnp.asarray(coeffs), block=L))
+    np.testing.assert_allclose(y_off, y_ref, atol=1e-10)
+
+    taps = fir_block_taps(jnp.asarray(coeffs), L)
+    cache1 = jnp.zeros((C, K - 1))
+    cache2 = jnp.zeros((C, K - 1))
+    outs1, outs2 = [], []
+    for b in range(nblk):
+        blk = jnp.asarray(x[:, b * L : (b + 1) * L])
+        cache1, y1 = fir_filter_block(cache1, blk, jnp.asarray(coeffs))
+        cache2, y2 = fir_filter_block(cache2, blk, taps)
+        outs1.append(np.asarray(y1))
+        outs2.append(np.asarray(y2))
+    np.testing.assert_allclose(np.concatenate(outs1, -1), y_ref, atol=1e-10)
+    np.testing.assert_array_equal(np.concatenate(outs1, -1), np.concatenate(outs2, -1))
