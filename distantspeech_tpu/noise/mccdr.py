@@ -74,8 +74,14 @@ def mccdr_step(
     Fxr = jnp.real(Fx)
     Fn2 = Fn**2
 
-    # unbiased CDR estimator, eq.[25] in [Schwarz15] (mccdr.py:139-146)
-    num = Fn * Fxr - Fx2 - jnp.sqrt(Fn2 * Fxr**2 - Fn2 * Fx2 + Fn2 - 2.0 * Fn * Fxr + Fx2)
+    # unbiased CDR estimator, eq.[25] in [Schwarz15] (mccdr.py:139-146).
+    # The radicand is analytically >= 0 for |Fx| <= 1 but cancels to a tiny
+    # negative under fused float32 arithmetic when |Fx| ~ 1 (XLA scan
+    # bodies reorder it differently from eager NumPy), and sqrt(-eps) = NaN
+    # then smears through the synthesis matmuls — clamp at 0 (exact
+    # whenever the true value is nonnegative).
+    rad = Fn2 * Fxr**2 - Fn2 * Fx2 + Fn2 - 2.0 * Fn * Fxr + Fx2
+    num = Fn * Fxr - Fx2 - jnp.sqrt(jnp.maximum(rad, 0.0))
     Gamma = num / jnp.minimum(Fx2 - 1.0, -1e-3)
     Gamma = Gamma**2
     Gamma = jnp.where(Gamma > 1.0, 1.0, Gamma)

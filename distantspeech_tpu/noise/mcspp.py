@@ -134,7 +134,13 @@ def mcspp_step(
     )
     gamma = jnp.clip(gamma, 1e-6, 1e8)
 
-    p = 1.0 / (1.0 + q / (1.0 - q) * (1.0 + xi) * jnp.exp(-(gamma / (1.0 + xi))))
+    # q == 1.0 is reachable in float32 (cdr_p underflows to 0 in low-energy
+    # bins): q/(1-q) is then inf and inf * exp(-huge) = NaN, which the
+    # synthesis matmuls smear across the whole block.  The mathematical
+    # limit as q -> 1 is p -> 0; bits are unchanged for q < 1 (float64
+    # never reaches 1.0 here, so reference parity is untouched).
+    ratio = q / (1.0 - q) * (1.0 + xi) * jnp.exp(-(gamma / (1.0 + xi)))
+    p = jnp.where(q >= 1.0, 0.0, 1.0 / (1.0 + ratio))
     p = jnp.clip(p, 0.0, 1.0)
 
     # ---- noise update (mcspp.py:281, McSppBase.update_noise_psd) -----------

@@ -208,7 +208,10 @@ def _sgsc_kernel(
         Fx2 = Fx[0] * Fx[0] + Fx[1] * Fx[1]
         Fxr = Fx[0]
         Fn2 = Fn * Fn
-        num = Fn * Fxr - Fx2 - jnp.sqrt(Fn2 * Fxr * Fxr - Fn2 * Fx2 + Fn2 - 2.0 * Fn * Fxr + Fx2)
+        # radicand clamped at 0: it cancels to a tiny float32 negative when
+        # |Fx| ~ 1 and sqrt(-eps) = NaN (see noise/mccdr.py)
+        rad = Fn2 * Fxr * Fxr - Fn2 * Fx2 + Fn2 - 2.0 * Fn * Fxr + Fx2
+        num = Fn * Fxr - Fx2 - jnp.sqrt(jnp.maximum(rad, 0.0))
         Gamma = num / jnp.minimum(Fx2 - 1.0, -1e-3)
         Gamma = Gamma * Gamma
         Gamma = jnp.where(Gamma > 1.0, 1.0, Gamma)
@@ -300,7 +303,10 @@ def _sgsc_kernel(
             t2 = _cadd(t2, _cmul(lv[i], d[i]))
         gamma = jnp.clip(t1[0] - t2[0], 1e-6, 1e8)
 
-        p = 1.0 / (1.0 + q / (1.0 - q) * (1.0 + xi) * jnp.exp(-(gamma / (1.0 + xi))))
+        # q == 1.0 float32 underflow guard: the q -> 1 limit is p = 0 (see
+        # noise/mcspp.py) — without it inf * exp(-huge) = NaN
+        ratio = q / (1.0 - q) * (1.0 + xi) * jnp.exp(-(gamma / (1.0 + xi)))
+        p = jnp.where(q >= 1.0, 0.0, 1.0 / (1.0 + ratio))
         p = jnp.clip(p, 0.0, 1.0)
         p = jnp.where(valid, p, 0.0)  # keep padding lanes inert
         p_ref[t, 0] = p

@@ -25,7 +25,8 @@ def main():
     import jax.numpy as jnp
 
     from distantspeech_tpu.beamform import (
-        FdGscConfig, GscConfig, TdGscConfig, fdgsc_process, gsc_process,
+        FdGscConfig, GscConfig, SubbandGscConfig, TdGscConfig, fdgsc_process,
+        gsc_process, subband_gsc_process,
     )
     from distantspeech_tpu.beamform.tdgsc import tdgsc_process
 
@@ -34,9 +35,15 @@ def main():
     x = jnp.asarray(mix)
 
     outs = {
-        "GSC  ": np.asarray(gsc_process(x, geom, angle, GscConfig(n_mics=4))),
-        "TDGSC": np.asarray(tdgsc_process(x, geom, angle, TdGscConfig(n_mics=4))[0]),
-        "FDGSC": np.asarray(fdgsc_process(x, geom, angle, FdGscConfig(n_mics=4))[0]),
+        "GSC   ": np.asarray(gsc_process(x, geom, angle, GscConfig(n_mics=4))),
+        "TDGSC ": np.asarray(tdgsc_process(x, geom, angle, TdGscConfig(n_mics=4))[0]),
+        # the round-5 guard: freeze the canceller on the raw S/Smin speech
+        # indicator during the MCRA warmup (see TdGscConfig.vad_guard)
+        "+guard": np.asarray(
+            tdgsc_process(x, geom, angle, TdGscConfig(n_mics=4, vad_guard=True))[0]),
+        "FDGSC ": np.asarray(fdgsc_process(x, geom, angle, FdGscConfig(n_mics=4))[0]),
+        "SbGSC ": np.asarray(
+            subband_gsc_process(x, geom, angle, SubbandGscConfig(n_mics=4))[0]),
     }
     if src is not None:
         for name, y in outs.items():
@@ -51,7 +58,7 @@ def main():
     else:
         for name, y in outs.items():
             print(f"{name}: out RMS {float(np.sqrt(np.mean(y ** 2))):.4f}")
-    maybe_save(args, outs["TDGSC"])
+    maybe_save(args, outs["TDGSC "])
 
 
 if __name__ == "__main__":

@@ -186,6 +186,32 @@ def test_subband_gsc_guard_options():
     assert np.all(np.isfinite(out_f))
 
 
+def test_subband_gsc_finite_f32_reverberant():
+    """Round-5 float32 robustness: on a reverberant speech-like scene the
+    McCDR radicand cancels to a tiny negative under XLA's fused float32
+    arithmetic (sqrt(-eps) = NaN) and cdr_p can underflow to exactly 0
+    (q = 1, inf * exp(-huge) = NaN in the McSpp p) — both NaNs then smear
+    through the synthesis matmuls.  The clamps are exact no-ops whenever
+    the float64 reference path is well-defined (parity suites unchanged)."""
+    import jax
+    from distantspeech_tpu.sim import RoomConfig, generate_scene
+
+    with jax.enable_x64(False):
+        rng = np.random.default_rng(0)
+        fs, dur = 16000, 4.0
+        t = np.arange(int(fs * dur)) / fs
+        env = (np.sin(2 * np.pi * 0.7 * t + 0.5) > -0.3).astype(np.float32)
+        src = (np.convolve(rng.standard_normal(len(t)), np.hanning(9) / 4.5, "same")
+               * env).astype(np.float32)
+        geom = ArrayGeometry.linear(4, 0.032)
+        mix = generate_scene(src, geom.mic_loc, source_angle=90.0, snr=20.0,
+                             cfg=RoomConfig(), seed=1).astype(np.float32)
+        out, p, bm = subband_gsc_process(
+            jnp.asarray(mix), geom, (np.pi / 2, 0.0), SubbandGscConfig(n_mics=4))
+        assert np.all(np.isfinite(np.asarray(out)))
+        assert np.all(np.isfinite(np.asarray(p)))
+
+
 def test_gsc_normalized_aic_stable_f32():
     """The reference's unnormalised LMS canceller diverges on loud broadband
     input (sooner in complex64); the opt-in power normalisation — the
