@@ -133,8 +133,10 @@ def main():
                 x, jnp.asarray(time_alignment_coeffs), DiosGscConfig(n_mics=4))[0], mk_x(4)),
         "mccowan_4mic": (lambda x: _mccowan(x), mk_x(4)),
         "srp_8mic": (lambda x: srp_process(x, geom8)[0], mk_x(8)),
+        "srp_fused_8mic": (lambda x: srp_process(x, geom8, backend="fused")[0], mk_x(8)),
         # BASELINE config 4: WPE dereverb (all channels) -> SRP-PHAT DOA
         "wpe_srp_8mic": (lambda x: _wpe_srp(x), mk_x(8)),
+        "wpe_srp_fused_8mic": (lambda x: _wpe_srp(x, srp_backend="fused"), mk_x(8)),
         # BASELINE config 5: AEC + time alignment + GSC + postfilter + KWS
         "full_stack_4mic": (lambda x: full_stack_process(x, x[..., 0, :], geom4, ang)[0], mk_x(4)),
         "full_stack_fused_4mic": (
@@ -145,12 +147,12 @@ def main():
     wcfg8 = WpeConfig(n_channels=8)
     srp8 = SrpConfig()
 
-    def _wpe_srp(x):
+    def _wpe_srp(x, srp_backend="scan"):
         Y = subband_analysis(x, wcfg8.subband)  # [B, C, T, F]
         D = jnp.moveaxis(jnp.moveaxis(Y, -3, -1), -3, 0)  # [T, B, F, C]
         e = wpe_run(wcfg8, D)
         yc = subband_synthesis(jnp.moveaxis(e, 0, -2).swapaxes(-1, -3), wcfg8.subband)
-        return srp_process(yc, geom8, srp8)[0]
+        return srp_process(yc, geom8, srp8, backend=srp_backend)[0]
 
     mc_fix = FixedBeamformerConfig(weight_type="DS")
     W_ds = fixed_beamformer_weights(geom4, (90.0, 0.0), mc_fix)
@@ -233,6 +235,12 @@ def main():
                     jnp.tile(x, (4, 1, 1)), geom4, ang,
                     SubbandGscConfig(n_mics=4), backend="fused")[0][:2],
                 4, 2e-2),
+            "srp_fused_8mic": (
+                lambda x: srp_process(x, geom8)[0],
+                lambda x: srp_process(x, geom8, backend="fused")[0],
+                8, 1e-3),
+            # wpe_srp_fused differs from wpe_srp only by the (gated) SRP
+            # backend; the WPE half is identical code
             "enhance_pallas_8mic": (
                 lambda x: enhance_process(x, geom8, (90.0, 0.0)),
                 lambda x: enhance_process(jnp.tile(x, (4, 1, 1)), geom8,

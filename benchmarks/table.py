@@ -36,8 +36,10 @@ LABELS = {
     "subband_gsc_fused_4mic": "**SubbandGSC fused kernel (McSpp in VMEM)**",
     "full_stack_4mic": "full stack scan",
     "srp_8mic": "SRP-PHAT DOA (8 mic)",
+    "srp_fused_8mic": "**SRP-PHAT DOA, fused kernel**",
     "enhance_scan_8mic": "enhance scan",
     "dios_gsc_4mic": "dios_ssp GSC (4 mic)",
+    "wpe_srp_fused_8mic": "**WPE -> SRP joint, fused SRP (cfg 4)**",
     "wpe_srp_8mic": "WPE -> SRP joint (8 mic, BASELINE cfg 4)",
 }
 

@@ -62,17 +62,28 @@ def srp_angle_spectrum(
 
 
 def srp_process(
-    x: jnp.ndarray, geometry: ArrayGeometry, cfg: SrpConfig = SrpConfig(), phat: bool = True
+    x: jnp.ndarray, geometry: ArrayGeometry, cfg: SrpConfig = SrpConfig(),
+    phat: bool = True, backend: str = "scan",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Offline SRP-PHAT of a time batch.
 
     x: [..., M, S].  Returns (angle_spectrum [..., T, Theta], p [..., T, F])
     with the same MCRA track the reference also reports (srp.py:37-41).
-    """
+
+    ``backend``: 'scan' (the XLA einsum — it materialises the [T, ..,
+    Theta, F] steered field in HBM) or 'fused' (ops.pallas_srp: per-bin
+    steered power accumulated in VMEM, TPU)."""
     X = analysis(x, cfg.stft)  # [..., M, T, F]
     Y = jnp.moveaxis(jnp.moveaxis(X, -3, -1), -3, 0)  # [T, ..., F, M]
-    grid = jnp.asarray(srp_steering_grid(cfg, geometry))
-    spec = jnp.moveaxis(srp_angle_spectrum(Y, grid, phat=phat), 0, -2)  # [..., T, Theta]
+    grid = srp_steering_grid(cfg, geometry)
+    if backend == "fused":
+        from distantspeech_tpu.ops.pallas_srp import fused_srp_spectrum
+
+        spec = jnp.moveaxis(fused_srp_spectrum(Y, grid, phat=phat), 0, -2)
+    elif backend == "scan":
+        spec = jnp.moveaxis(srp_angle_spectrum(Y, jnp.asarray(grid), phat=phat), 0, -2)
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
     power = jnp.abs(Y[..., 0]) ** 2  # [T, ..., F]
     _, p = mcra_run(cfg.mcra, power)
     return spec, jnp.moveaxis(p, 0, -2)
