@@ -52,7 +52,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from distantspeech_tpu.ops.framing import overlap_add
-from distantspeech_tpu.ops.pallas_mvdr import _mvdr_frame
+from distantspeech_tpu.ops.pallas_mvdr import (
+    _ldl_factor_into,
+    _mvdr_frame,
+    _mvdr_output,
+    _mvdr_update_ldl,
+    _mvdr_update_rank1,
+)
 
 _SUB = 8
 
@@ -114,6 +120,7 @@ def _enhance_kernel(
     p_min: float, p_max: float,
     alpha_v: float, diag: float, rel_diag: float, p_vad: float,
     alpha_xi: float, gmin: float, last_bin: bool, vad_guard: bool = False,
+    inv_mode: str = "ldl",
 ):
     """The full flagship frame loop: in-kernel MCRA -> gated MVDR (LDL^H
     solve) -> decision-directed OM-LSA gain, state resident in VMEM across
@@ -137,7 +144,7 @@ def _enhance_kernel(
     log_gmin = float(np.log(gmin))
     chunk_base = pl.program_id(1) * Tc  # hoisted: program_id binds at kernel top level
 
-    def frame(t, _):
+    def frame(t, _, rank1=False):
         tg = chunk_base + t
         zr = [zr_ref[t, m] for m in range(M)]
         zi = [zi_ref[t, m] for m in range(M)]
@@ -162,7 +169,11 @@ def _enhance_kernel(
             if vad_guard:
                 upd = upd & (sr <= delta_s)
 
-        yr, yi = _mvdr_frame(zr, zi, upd, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag, rel_diag)
+        if rank1:
+            _mvdr_update_rank1(zr, zi, upd, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v)
+        else:
+            _mvdr_update_ldl(zr, zi, upd, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag, rel_diag)
+        yr, yi = _mvdr_output(zr, zi, ar, ai, Ur, Ui, M)
 
         gamma = (yr * yr + yi * yi) / jnp.maximum(lam_out, 1e-10)
         xi = alpha_xi * Gh[...] ** 2 * Gam[...] + (1.0 - alpha_xi) * jnp.maximum(gamma - 1.0, 0.0)
@@ -175,7 +186,20 @@ def _enhance_kernel(
         yi_ref[t, 0] = yi * G
         return 0
 
-    jax.lax.fori_loop(0, Tc, frame, 0)
+    if inv_mode == "rank1":
+        # chunk 0 = exact-LDL warmup, then convert the covariance scratch to
+        # its inverse in place; later chunks run the Sherman-Morrison path
+        # (see _mvdr_update_rank1 for the numerics contract)
+        @pl.when(pl.program_id(1) == 0)
+        def _warm_chunk():
+            jax.lax.fori_loop(0, Tc, frame, 0)
+            _ldl_factor_into(Rr, Ri, M, diag, rel_diag)
+
+        @pl.when(pl.program_id(1) != 0)
+        def _steady_chunk():
+            jax.lax.fori_loop(0, Tc, partial(frame, rank1=True), 0)
+    else:
+        jax.lax.fori_loop(0, Tc, frame, 0)
 
 
 def _pick_t_chunk(T: int, cap: int = 64):
@@ -193,6 +217,7 @@ def fused_enhance(
     cfg,
     interpret: bool = False,
     t_chunk: int = None,
+    inv_mode: str = "ldl",
 ) -> jnp.ndarray:
     """Time-domain in/out flagship pipeline (EnhanceConfig semantics).
 
@@ -276,9 +301,11 @@ def fused_enhance(
         L=mc.L, alpha_s=mc.alpha_s, alpha_p=mc.alpha_p, alpha_d=mc.alpha_d,
         delta_s=mc.delta_s, p_min=mc.p_min, p_max=mc.p_max,
         alpha_v=mv.alpha_v, diag=mv.diag, rel_diag=mv.rel_diag, p_vad=mv.p_vad,
-        vad_guard=getattr(mv, "vad_guard", False),
+        vad_guard=getattr(mv, "vad_guard", False), inv_mode=inv_mode,
         alpha_xi=cfg.alpha_xi, gmin=cfg.gmin,
     )
+    if inv_mode not in ("ldl", "rank1"):
+        raise ValueError(f"inv_mode must be 'ldl' or 'rank1', got {inv_mode!r}")
     scratch = [
         pltpu.VMEM((M, M, _SUB, fl), jnp.float32),
         pltpu.VMEM((M, M, _SUB, fl), jnp.float32),
@@ -347,7 +374,7 @@ def _mega_kernel(
     p_min: float, p_max: float, b: tuple,
     alpha_v: float, diag: float, rel_diag: float, p_vad: float,
     alpha_xi: float, gmin: float, mxu: str = "highest", unroll: int = 1,
-    sub: int = _SUB, vad_guard: bool = False,
+    sub: int = _SUB, vad_guard: bool = False, inv_mode: str = "ldl",
 ):
     """The whole flagship pipeline in ONE kernel: framing + windowed DFT +
     MCRA (cross-bin smoothing via lane shifts) + gated MVDR + OM-LSA +
@@ -400,7 +427,7 @@ def _mega_kernel(
     log_gmin = float(np.log(gmin))
     chunk_base = pl.program_id(1) * Tc
 
-    def frame(t, _):
+    def frame(t, _, rank1=False):
         tg = chunk_base + t
         zr = [Zr[m, t] for m in range(M)]  # [8, fl]
         zi_raw = [Zi[m, t] for m in range(M)]
@@ -426,7 +453,11 @@ def _mega_kernel(
         upd = p_out < p_vad
         if vad_guard:
             upd = upd & (sr <= delta_s)
-        yr, yi = _mvdr_frame(zr, zi, upd, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag, rel_diag)
+        if rank1:
+            _mvdr_update_rank1(zr, zi, upd, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v)
+        else:
+            _mvdr_update_ldl(zr, zi, upd, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag, rel_diag)
+        yr, yi = _mvdr_output(zr, zi, ar, ai, Ur, Ui, M)
 
         gamma = (yr * yr + yi * yi) / jnp.maximum(lam_out, 1e-10)
         xi = alpha_xi * Gh[...] ** 2 * Gam[...] + (1.0 - alpha_xi) * jnp.maximum(gamma - 1.0, 0.0)
@@ -439,7 +470,19 @@ def _mega_kernel(
         Yoi[t] = jnp.where(mask0, 0.0, yi * G)  # lane 0 = the Nyquist slot, filled outside
         return 0
 
-    jax.lax.fori_loop(0, Tc, frame, 0, unroll=unroll)
+    if inv_mode == "rank1":
+        # chunk 0 = exact-LDL warmup, then convert the covariance scratch to
+        # its inverse in place; later chunks run the Sherman-Morrison path
+        @pl.when(pl.program_id(1) == 0)
+        def _warm_chunk():
+            jax.lax.fori_loop(0, Tc, frame, 0, unroll=unroll)
+            _ldl_factor_into(Rr, Ri, M, diag, rel_diag)
+
+        @pl.when(pl.program_id(1) != 0)
+        def _steady_chunk():
+            jax.lax.fori_loop(0, Tc, partial(frame, rank1=True), 0, unroll=unroll)
+    else:
+        jax.lax.fori_loop(0, Tc, frame, 0, unroll=unroll)
 
     # ---- synthesis + overlap-add (50% overlap: y[t] = f[t,:hop]+f[t-1,hop:])
     # packed inverse layout: [yr bins 0..F-2 | 0 (Nyquist slot) | yi 1..F-2],
@@ -464,6 +507,7 @@ def fused_enhance_full(
     mxu: str = "highest",
     unroll: int = 1,
     sub: int = _SUB,
+    inv_mode: str = "ldl",
     _skip_nyquist: bool = False,
 ) -> jnp.ndarray:
     """Mega-fused flagship: the ENTIRE pipeline (STFT analysis included) in
@@ -544,9 +588,11 @@ def fused_enhance_full(
         L=mc.L, alpha_s=mc.alpha_s, alpha_p=mc.alpha_p, alpha_d=mc.alpha_d,
         delta_s=mc.delta_s, p_min=mc.p_min, p_max=mc.p_max,
         alpha_v=mv.alpha_v, diag=mv.diag, rel_diag=mv.rel_diag, p_vad=mv.p_vad,
-        vad_guard=getattr(mv, "vad_guard", False),
-        alpha_xi=cfg.alpha_xi, gmin=cfg.gmin,
+        vad_guard=getattr(mv, "vad_guard", False), inv_mode=inv_mode,
     )
+    kern_kwargs.update(alpha_xi=cfg.alpha_xi, gmin=cfg.gmin)
+    if inv_mode not in ("ldl", "rank1"):
+        raise ValueError(f"inv_mode must be 'ldl' or 'rank1', got {inv_mode!r}")
 
     sig_spec = pl.BlockSpec((tc, M, sub, hop), lambda n, t: (t, 0, n, 0), memory_space=pltpu.VMEM)
     halo_spec = pl.BlockSpec((1, M, sub, hop), lambda n, t: (t * tc + tc, 0, n, 0), memory_space=pltpu.VMEM)

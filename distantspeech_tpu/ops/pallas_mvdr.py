@@ -43,13 +43,12 @@ def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
 
 
-def _mvdr_frame(zr, zi, upd, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag, rel_diag=0.0):
-    """One MVDR frame on vreg tiles: gated hermitian rank-1 update of the
-    lower triangle of R, then u = (R + load I)^-1 a via an unrolled LDL^H
-    factorisation and two triangular solves — O(M^3/6) complex muls and no
-    sqrt, versus O(M^3) for a full Gauss-Jordan inverse, and only the
-    M-vector u (not the M x M inverse) is carried for gate-off frames.
-    Returns y = u^H z / conj(a^H u)  ==  w^H z with w = R^-1 a / (a^H R^-1 a).
+def _mvdr_update_ldl(zr, zi, upd, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag, rel_diag=0.0):
+    """Gated hermitian rank-1 update of the lower triangle of R, then
+    u = (R + load I)^-1 a via an unrolled LDL^H factorisation and two
+    triangular solves — O(M^3/6) complex muls and no sqrt, versus O(M^3)
+    for a full Gauss-Jordan inverse, and only the M-vector u (not the
+    M x M inverse) is carried for gate-off frames (held in Ur/Ui).
 
     load = diag + rel_diag * tr(R)/M, matching ``MvdrConfig.rel_diag``
     (the complex64 production guard; beamform/mvdr.py:96-100).
@@ -129,7 +128,9 @@ def _mvdr_frame(zr, zi, upd, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag, rel_diag=
         Ur[i] = gated(ur[i], Ur[i])
         Ui[i] = gated(ui[i], Ui[i])
 
-    # --- y = w^H z with w = u / (a^H u) (mvdr_step:90-91) ------------------
+
+def _mvdr_output(zr, zi, ar, ai, Ur, Ui, M):
+    """y = w^H z with w = u / (a^H u) (mvdr_step:90-91), u held in Ur/Ui."""
     shp = zr[0].shape
     den_r = jnp.zeros(shp, dtype=jnp.float32)
     den_i = jnp.zeros(shp, dtype=jnp.float32)
@@ -145,6 +146,154 @@ def _mvdr_frame(zr, zi, upd, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag, rel_diag=
     dmag = den_r * den_r + den_i * den_i
     cinv_r, cinv_i = den_r / dmag, den_i / dmag  # 1 / conj(den)
     return _cmul(nr, ni, cinv_r, cinv_i)
+
+
+def _mvdr_frame(zr, zi, upd, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag, rel_diag=0.0):
+    """One MVDR frame (LDL mode): covariance/solve update + beamformed
+    output.  See ``_mvdr_update_ldl`` / ``_mvdr_output``."""
+    _mvdr_update_ldl(zr, zi, upd, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag, rel_diag)
+    return _mvdr_output(zr, zi, ar, ai, Ur, Ui, M)
+
+
+
+def _ldl_factor_into(Rr, Ri, M, diag, rel_diag=0.0):
+    """Overwrite the covariance scratch with its LDL^H factors, in place.
+
+    Runs ONCE, at the warmup->rank1 handover (end of the first frame chunk):
+    compute load = diag + rel_diag * tr(R)/M per lane (the same loading the
+    LDL warmup frames used) and factor A = R + load I as L D L^H (unit lower
+    L, real positive D).  The unit-lower off-diagonals overwrite Rr/Ri[i>j]
+    and D overwrites the diagonal slots Rr[i][i] (L's unit diagonal is
+    implicit; Ri[i][i] stays unused).  From here on the scratch IS the
+    factorisation and ``_mvdr_update_rank1`` maintains it by Bennett rank-1
+    factor updates.  O(M^3/6) once — amortised to nothing over the
+    utterance."""
+    load = diag
+    if rel_diag:
+        tr_R = Rr[0, 0]
+        for i in range(1, M):
+            tr_R = tr_R + Rr[i, i]
+        load = diag + (rel_diag / M) * tr_R  # [8, Ft] per-lane loading
+    # --- LDL^H of A = R + load I (same recurrence as _mvdr_update_ldl) -----
+    Lr = [[None] * M for _ in range(M)]
+    Li = [[None] * M for _ in range(M)]
+    D = [None] * M
+    Dinv = [None] * M
+    for j in range(M):
+        d = Rr[j, j] + load
+        for k in range(j):
+            d = d - (Lr[j][k] * Lr[j][k] + Li[j][k] * Li[j][k]) * D[k]
+        D[j] = d
+        Dinv[j] = 1.0 / d
+        for i in range(j + 1, M):
+            sr, si = Rr[i, j], Ri[i, j]
+            for k in range(j):
+                tr, ti = _cmul(Lr[i][k], Li[i][k], Lr[j][k], -Li[j][k])
+                sr, si = sr - tr * D[k], si - ti * D[k]
+            Lr[i][j] = sr * Dinv[j]
+            Li[i][j] = si * Dinv[j]
+    # all reads of Rr/Ri are done — safe to overwrite with the factors
+    for i in range(M):
+        Rr[i, i] = D[i]
+        for j in range(i):
+            Rr[i, j] = Lr[i][j]
+            Ri[i, j] = Li[i][j]
+
+
+def _mvdr_update_rank1(zr, zi, upd, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v):
+    """Gated Bennett rank-1 update of the LDL^H factors of
+    A = Rvv + load I, plus the triangular solves for u = A^-1 a — the
+    post-warmup fast path of ``inv_mode='rank1'``.
+
+    The reference recursion Rvv' = alpha Rvv + (1-alpha) z z^H gives
+    A' = alpha [A + (b/a) z z^H] + (1-alpha) load I with b/a =
+    (1-alpha)/alpha.  Dropping the last term (so the loading decays as
+    load * alpha^n instead of staying fixed) makes the update exactly
+    rank-1 in A, and Bennett's algorithm applies it DIRECTLY to the unit-
+    lower/diagonal factors in O(M^2): column j consumes the transformed
+    update vector w, inflates d_j by sigma |w_j|^2, and rotates the
+    column below it — positive-definiteness is preserved BY CONSTRUCTION
+    (d only ever grows by a nonnegative term, then scales by alpha), which
+    is what makes this stable in float32 where tracking the INVERSE via
+    Sherman-Morrison diverges: under the sparse vad_guard update gate
+    cond(A) reaches ~1e4-1e6 on rarely-updated lanes, and an inverse
+    recursion accumulates cond * eps per update multiplicatively (measured:
+    O(1) output error within 50 frames), while factor updates keep the
+    error a non-compounding random walk (measured: <= 3.4e-4 transient
+    over 500 gated frames, ~1e-6 steady).
+
+    u is then solved FRESH each frame from the candidate factors — the
+    same two triangular solves as the LDL path, whose error is per-frame,
+    not recursive.  Versus the LDL path this drops the O(M^3/6)
+    refactorisation and the O(M^2/2) covariance rank-1 update for an
+    O(M^2/2) factor update: ~1.35x fewer VPU ops per frame at M = 8 with
+    the same 8 reciprocals (Bennett's d' reciprocals double as the solve's
+    D^-1).
+
+    Numerics contract: exact up to (a) loading decay load*(1 - alpha^n)
+    (~1e-7 absolute over a 4 s utterance at alpha=0.9998) and (b)
+    ``rel_diag`` trace-loading honoured through warmup then frozen
+    (~rel_diag * cond relative); both bounded end-to-end by bench.py's
+    parity gates.  Scratch layout: L off-diagonals in Rr/Ri[i>j], real D
+    in Rr[i][i] (see ``_ldl_factor_into``)."""
+    ba = (1.0 - alpha_v) / alpha_v
+    inv_a = 1.0 / alpha_v
+
+    def gated(new, old):
+        return new if upd is None else jnp.where(upd, new, old)
+
+    # --- Bennett candidate update of (L, D); sigma starts at b/a -----------
+    wr = [zr[i] for i in range(M)]
+    wi = [zi[i] for i in range(M)]
+    Lr = [[None] * M for _ in range(M)]
+    Li = [[None] * M for _ in range(M)]
+    Dn = [None] * M
+    Dinv = [None] * M
+    sig = ba
+    for j in range(M):
+        pr, pi = wr[j], wi[j]
+        dj = Rr[j, j] + sig * (pr * pr + pi * pi)
+        r = 1.0 / dj  # the ONE reciprocal per column (re-used as D^-1)
+        sr_ = sig * r
+        br, bi = sr_ * pr, -(sr_ * pi)  # b = sigma conj(p) / d'
+        sig = sig * Rr[j, j] * r
+        Dn[j] = alpha_v * dj
+        Dinv[j] = r * inv_a
+        for i in range(j + 1, M):
+            tr, ti = _cmul(pr, pi, Rr[i, j], Ri[i, j])
+            wr[i], wi[i] = wr[i] - tr, wi[i] - ti
+            tr, ti = _cmul(br, bi, wr[i], wi[i])
+            Lr[i][j] = Rr[i, j] + tr
+            Li[i][j] = Ri[i, j] + ti
+
+    # --- solve L v = a (unit diag), v *= D^-1, L^H u = v -------------------
+    vr = [None] * M
+    vi = [None] * M
+    for i in range(M):
+        sr_, si_ = ar[i], ai[i]
+        for k in range(i):
+            tr, ti = _cmul(Lr[i][k], Li[i][k], vr[k], vi[k])
+            sr_, si_ = sr_ - tr, si_ - ti
+        vr[i], vi[i] = sr_, si_
+    for i in range(M):
+        vr[i], vi[i] = vr[i] * Dinv[i], vi[i] * Dinv[i]
+    ur = [None] * M
+    ui = [None] * M
+    for i in range(M - 1, -1, -1):
+        sr_, si_ = vr[i], vi[i]
+        for k in range(i + 1, M):
+            tr, ti = _cmul(Lr[k][i], -Li[k][i], ur[k], ui[k])
+            sr_, si_ = sr_ - tr, si_ - ti
+        ur[i], ui[i] = sr_, si_
+
+    # --- gated stores: hold factors and u where the gate is closed ---------
+    for i in range(M):
+        Rr[i, i] = gated(Dn[i], Rr[i, i])
+        Ur[i] = gated(ur[i], Ur[i])
+        Ui[i] = gated(ui[i], Ui[i])
+        for j in range(i):
+            Rr[i, j] = gated(Lr[i][j], Rr[i, j])
+            Ri[i, j] = gated(Li[i][j], Ri[i, j])
 
 
 def _mvdr_kernel(

@@ -127,3 +127,50 @@ def test_fused_enhance_validation():
     x = jnp.zeros((6, 2, 1280), jnp.float32)  # B not a multiple of 8
     with pytest.raises(ValueError, match="B % 8"):
         fused_enhance(x, np.ones((129, 2), np.complex64), cfg, interpret=True)
+
+
+@pytest.mark.parametrize("vad_guard", [False, True])
+def test_fused_enhance_full_rank1_matches_ldl(vad_guard):
+    """inv_mode='rank1' (LDL warmup chunk -> Bennett rank-1 factor updates)
+    against the per-frame-LDL kernel, across several frame chunks so the
+    steady-state Bennett path does most of the work.  Guard-off is the
+    tight contract (loading decay only); vad_guard's sparse update gate is
+    the hard case for factor tracking (cond(Rvv+dI) ~ 1e4-1e6 on rarely
+    updated lanes — the Sherman-Morrison inverse recursion DIVERGES here,
+    which is why the rank-1 path tracks factors instead)."""
+    B, M, S = 8, 4, 128 * 60
+    cfg = EnhanceConfig(mvdr=MvdrConfig(mcra_L=15, vad_guard=vad_guard))
+    geom = ArrayGeometry.linear(M, 0.032)
+    x = jnp.asarray(_scene(B, M, S, seed=5))
+    steer = np.asarray(
+        steering_vector(geom, np.array([np.pi / 2, 0.0]), cfg.stft.n_fft), dtype=np.complex64
+    )
+    a = np.asarray(fused_enhance_full(x, steer, cfg, interpret=True, t_chunk=12))
+    b = np.asarray(fused_enhance_full(x, steer, cfg, interpret=True, t_chunk=12, inv_mode="rank1"))
+    assert a.shape == b.shape
+    scale = np.max(np.abs(a))
+    tol = 2e-2 if vad_guard else 1e-3  # decision-flip vs tight (bench.py gates)
+    np.testing.assert_allclose(b, a, atol=tol * scale, rtol=tol)
+
+
+def test_fused_enhance_full_rank1_single_chunk_is_ldl():
+    """With T <= t_chunk the whole run is the warmup chunk: rank1 mode must
+    be bit-identical to the LDL kernel (the handover conversion runs after
+    the last frame and is unobservable)."""
+    B, M, S = 8, 2, 128 * 20
+    cfg = EnhanceConfig(mvdr=MvdrConfig(mcra_L=15))
+    geom = ArrayGeometry.linear(M, 0.032)
+    x = jnp.asarray(_scene(B, M, S, seed=6))
+    steer = np.asarray(
+        steering_vector(geom, np.array([np.pi / 2, 0.0]), cfg.stft.n_fft), dtype=np.complex64
+    )
+    a = np.asarray(fused_enhance_full(x, steer, cfg, interpret=True))
+    b = np.asarray(fused_enhance_full(x, steer, cfg, interpret=True, inv_mode="rank1"))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_fused_enhance_full_rank1_validation():
+    cfg = EnhanceConfig()
+    x = jnp.zeros((8, 2, 1280), jnp.float32)
+    with pytest.raises(ValueError, match="inv_mode"):
+        fused_enhance_full(x, np.ones((129, 2), np.complex64), cfg, interpret=True, inv_mode="sm")
