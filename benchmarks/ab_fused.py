@@ -24,6 +24,11 @@ def main():
                     help="profile mode: time mega_bf16x3 sub-configurations instead")
     ap.add_argument("--batch-sweep", action="store_true",
                     help="time mega_bf16x3 at B=32/64/128 (per-chip throughput vs batch)")
+    ap.add_argument("--rank1", action="store_true",
+                    help="A/B the Bennett rank-1 factor-update MVDR (inv_mode='rank1') "
+                         "against the per-frame-LDL kernel at the flagship shape, with "
+                         "on-device gates (rank1 vs ldl: tight guard-off, decision-flip "
+                         "tolerance on the benched guarded config)")
     ap.add_argument("--fast-gate", action="store_true",
                     help="gate variants against fused_enhance instead of the scan "
                          "reference (whose B=2 compile takes ~7 min on axon); fused "
@@ -86,6 +91,37 @@ def main():
             "b3_no_nyq": jax.jit(lambda x: fused_enhance_full(x, steer, cfg, mxu="bf16x3", _skip_nyquist=True)),
         }
     batch_sizes = {name: batch for name in variants}
+    if args.rank1:
+        from distantspeech_tpu.beamform.mvdr import MvdrConfig
+
+        mv = cfg.mvdr
+        cfg_nog = EnhanceConfig(
+            mvdr=MvdrConfig(**{**mv.__dict__, "vad_guard": False}),
+            alpha_xi=cfg.alpha_xi, gmin=cfg.gmin,
+        )
+        variants = {
+            "b3_B64_s32_ldl": jax.jit(lambda x: fused_enhance_full(x, steer, cfg, mxu="bf16x3", sub=32)),
+            "b3_B64_s32_rank1": jax.jit(
+                lambda x: fused_enhance_full(x, steer, cfg, mxu="bf16x3", sub=32, inv_mode="rank1")),
+        }
+        batch_sizes = {name: 64 for name in variants}
+        # on-device gates: rank1 vs the ldl kernel (its own scan gate is
+        # bench.py's) — tight with the guard's decision boundary off, then
+        # the exact benched config at decision-flip tolerance
+        def _gap_fn(c):
+            @jax.jit
+            def g(x32):
+                a = fused_enhance_full(x32, steer, c, mxu="bf16x3", sub=32)
+                b = fused_enhance_full(x32, steer, c, mxu="bf16x3", sub=32, inv_mode="rank1")
+                scale = jnp.maximum(jnp.max(jnp.abs(a)), 1e-20)
+                return jnp.max(jnp.abs(b - a)) / scale
+            return g
+        x32 = jnp.asarray(rng.standard_normal((32, n_mics, fs)).astype(np.float32))
+        for c, tol, label in ((cfg_nog, 1e-3, "tight, guard off"), (cfg, 2e-2, "benched config")):
+            rel = float(jax.device_get(_gap_fn(c)(x32)))
+            print(f"[rank1 gate] {label}: rel={rel:.2e} (tol {tol:g})", file=sys.stderr)
+            if not (np.isfinite(rel) and rel < tol):
+                raise RuntimeError(f"rank1 on-device gate FAILED ({label}): {rel:.3e}")
     if args.batch_sweep:
         variants = {
             "b3_B32_s32": jax.jit(lambda x: fused_enhance_full(x, steer, cfg, mxu="bf16x3", sub=32)),
@@ -99,8 +135,8 @@ def main():
                        "b3_B64_s64": 64, "b3_B128_s32": 128, "b3_B128_s64": 128}
 
     # ---- parity gates (compile at gate shape first; fail fast) -------------
-    if args.parts or args.batch_sweep:
-        gate_names = []  # parts intentionally diverge (e.g. no Nyquist bin)
+    if args.parts or args.batch_sweep or args.rank1:
+        gate_names = []  # parts diverge by design; --rank1 runs its own gates above
         y_ref = None
     elif args.fast_gate:
         y_ref = variants["fused"](jnp.tile(x_gate, (4, 1, 1)))[:2]

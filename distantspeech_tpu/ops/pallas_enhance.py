@@ -54,6 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 from distantspeech_tpu.ops.framing import overlap_add
 from distantspeech_tpu.ops.pallas_mvdr import (
     _ldl_factor_into,
+    _refresh_loading,
     _mvdr_frame,
     _mvdr_output,
     _mvdr_update_ldl,
@@ -61,6 +62,14 @@ from distantspeech_tpu.ops.pallas_mvdr import (
 )
 
 _SUB = 8
+
+# inv_mode='rank1': frames of exact per-frame LDL before the Bennett handover
+# (rounded up to whole frame chunks).  64 covers MCRA's 2L = 30 forced-update
+# window plus rank completion of Rvv, past the early window where the trace
+# (and so rel_diag loading) still grows fast and lanes are load-dominated —
+# the regime where the frozen-loading deviation peaks (measured 2.8e-2
+# on-device with a 16-frame warmup vs the per-frame-LDL kernel).
+_RANK1_WARM_FRAMES = 64
 
 
 def _mcra_frame(tg, Yp, Sf_t, S, Smin, Stmp, Pp, Lam, interior, mask0,
@@ -114,13 +123,13 @@ def _mcra_frame(tg, Yp, Sf_t, S, Smin, Stmp, Pp, Lam, interior, mask0,
 def _enhance_kernel(
     zr_ref, zi_ref, sf_ref, ar_ref, ai_ref,  # inputs
     yr_ref, yi_ref,  # outputs
-    Rr, Ri, Ur, Ui, S, Smin, Stmp, Pp, Lam, Gh, Gam,  # scratch
+    Rr, Ri, Ur, Ui, S, Smin, Stmp, Pp, Lam, Gh, Gam, Ld,  # scratch
     *, Tc: int, M: int, fl: int,
     L: int, alpha_s: float, alpha_p: float, alpha_d: float, delta_s: float,
     p_min: float, p_max: float,
     alpha_v: float, diag: float, rel_diag: float, p_vad: float,
     alpha_xi: float, gmin: float, last_bin: bool, vad_guard: bool = False,
-    inv_mode: str = "ldl",
+    inv_mode: str = "ldl", warm_chunks: int = 1,
 ):
     """The full flagship frame loop: in-kernel MCRA -> gated MVDR (LDL^H
     solve) -> decision-directed OM-LSA gain, state resident in VMEM across
@@ -142,6 +151,7 @@ def _enhance_kernel(
     interior = lane >= 1  # k in 1..F-2 (lane k=F-1 lives in the Nyquist call)
     mask0 = lane == 0
     log_gmin = float(np.log(gmin))
+    refresh = inv_mode == "rank1" and bool(rel_diag)
     chunk_base = pl.program_id(1) * Tc  # hoisted: program_id binds at kernel top level
 
     def frame(t, _, rank1=False):
@@ -170,7 +180,8 @@ def _enhance_kernel(
                 upd = upd & (sr <= delta_s)
 
         if rank1:
-            _mvdr_update_rank1(zr, zi, upd, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v)
+            _mvdr_update_rank1(zr, zi, upd, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v,
+                               Ld=Ld if refresh else None)
         else:
             _mvdr_update_ldl(zr, zi, upd, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag, rel_diag)
         yr, yi = _mvdr_output(zr, zi, ar, ai, Ur, Ui, M)
@@ -190,13 +201,24 @@ def _enhance_kernel(
         # chunk 0 = exact-LDL warmup, then convert the covariance scratch to
         # its inverse in place; later chunks run the Sherman-Morrison path
         # (see _mvdr_update_rank1 for the numerics contract)
-        @pl.when(pl.program_id(1) == 0)
+        pid = pl.program_id(1)  # hoisted: bind outside the nested conds
+
+        @pl.when(pid < warm_chunks)
         def _warm_chunk():
             jax.lax.fori_loop(0, Tc, frame, 0)
-            _ldl_factor_into(Rr, Ri, M, diag, rel_diag)
 
-        @pl.when(pl.program_id(1) != 0)
+            @pl.when(pid == warm_chunks - 1)  # handover: factor in place
+            def _convert():
+                load = _ldl_factor_into(Rr, Ri, M, diag, rel_diag)
+                if refresh:
+                    Ld[...] = jnp.broadcast_to(load, Ld.shape)
+
+        @pl.when(pid >= warm_chunks)
         def _steady_chunk():
+            if refresh:
+                @pl.when(pid >= warm_chunks + 1)  # first steady chunk starts anchored
+                def _reanchor():
+                    _refresh_loading(Rr, Ri, Ld, M, diag, rel_diag)
             jax.lax.fori_loop(0, Tc, partial(frame, rank1=True), 0)
     else:
         jax.lax.fori_loop(0, Tc, frame, 0)
@@ -302,6 +324,7 @@ def fused_enhance(
         delta_s=mc.delta_s, p_min=mc.p_min, p_max=mc.p_max,
         alpha_v=mv.alpha_v, diag=mv.diag, rel_diag=mv.rel_diag, p_vad=mv.p_vad,
         vad_guard=getattr(mv, "vad_guard", False), inv_mode=inv_mode,
+        warm_chunks=max(1, -(-_RANK1_WARM_FRAMES // tc)),
         alpha_xi=cfg.alpha_xi, gmin=cfg.gmin,
     )
     if inv_mode not in ("ldl", "rank1"):
@@ -311,7 +334,7 @@ def fused_enhance(
         pltpu.VMEM((M, M, _SUB, fl), jnp.float32),
         pltpu.VMEM((M, _SUB, fl), jnp.float32),
         pltpu.VMEM((M, _SUB, fl), jnp.float32),
-    ] + [pltpu.VMEM((_SUB, fl), jnp.float32)] * 7
+    ] + [pltpu.VMEM((_SUB, fl), jnp.float32)] * 8
     tspec = pl.BlockSpec((tc, 1, _SUB, fl), lambda n, t: (t, n, 0, 0), memory_space=pltpu.VMEM)
     aspec = pl.BlockSpec((M, _SUB, fl), lambda n, t: (0, 0, 0), memory_space=pltpu.VMEM)
     out_shape = [
@@ -368,13 +391,13 @@ def _dot3(a, w_hi, w_lo):
 def _mega_kernel(
     sig_ref, halo_ref, cs_ref, ab_ref, ar_ref, ai_ref,  # inputs
     y_ref,  # output: [Tc, 1, 8, hop] overlap-added time-domain chunk
-    Zr, Zi, Yor, Yoi, OAc, Rr, Ri, Ur, Ui, S, Smin, Stmp, Pp, Lam, Gh, Gam,  # scratch
+    Zr, Zi, Yor, Yoi, OAc, Rr, Ri, Ur, Ui, S, Smin, Stmp, Pp, Lam, Gh, Gam, Ld,  # scratch
     *, Tc: int, M: int, fl: int,
     L: int, alpha_s: float, alpha_p: float, alpha_d: float, delta_s: float,
     p_min: float, p_max: float, b: tuple,
     alpha_v: float, diag: float, rel_diag: float, p_vad: float,
     alpha_xi: float, gmin: float, mxu: str = "highest", unroll: int = 1,
-    sub: int = _SUB, vad_guard: bool = False, inv_mode: str = "ldl",
+    sub: int = _SUB, vad_guard: bool = False, inv_mode: str = "ldl", warm_chunks: int = 1,
 ):
     """The whole flagship pipeline in ONE kernel: framing + windowed DFT +
     MCRA (cross-bin smoothing via lane shifts) + gated MVDR + OM-LSA +
@@ -425,6 +448,7 @@ def _mega_kernel(
     interior = lane >= 1
     mask0 = lane == 0
     log_gmin = float(np.log(gmin))
+    refresh = inv_mode == "rank1" and bool(rel_diag)
     chunk_base = pl.program_id(1) * Tc
 
     def frame(t, _, rank1=False):
@@ -454,7 +478,8 @@ def _mega_kernel(
         if vad_guard:
             upd = upd & (sr <= delta_s)
         if rank1:
-            _mvdr_update_rank1(zr, zi, upd, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v)
+            _mvdr_update_rank1(zr, zi, upd, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v,
+                               Ld=Ld if refresh else None)
         else:
             _mvdr_update_ldl(zr, zi, upd, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, diag, rel_diag)
         yr, yi = _mvdr_output(zr, zi, ar, ai, Ur, Ui, M)
@@ -473,13 +498,24 @@ def _mega_kernel(
     if inv_mode == "rank1":
         # chunk 0 = exact-LDL warmup, then convert the covariance scratch to
         # its inverse in place; later chunks run the Sherman-Morrison path
-        @pl.when(pl.program_id(1) == 0)
+        pid = pl.program_id(1)  # hoisted: bind outside the nested conds
+
+        @pl.when(pid < warm_chunks)
         def _warm_chunk():
             jax.lax.fori_loop(0, Tc, frame, 0, unroll=unroll)
-            _ldl_factor_into(Rr, Ri, M, diag, rel_diag)
 
-        @pl.when(pl.program_id(1) != 0)
+            @pl.when(pid == warm_chunks - 1)  # handover: factor in place
+            def _convert():
+                load = _ldl_factor_into(Rr, Ri, M, diag, rel_diag)
+                if refresh:
+                    Ld[...] = jnp.broadcast_to(load, Ld.shape)
+
+        @pl.when(pid >= warm_chunks)
         def _steady_chunk():
+            if refresh:
+                @pl.when(pid >= warm_chunks + 1)  # first steady chunk starts anchored
+                def _reanchor():
+                    _refresh_loading(Rr, Ri, Ld, M, diag, rel_diag)
             jax.lax.fori_loop(0, Tc, partial(frame, rank1=True), 0, unroll=unroll)
     else:
         jax.lax.fori_loop(0, Tc, frame, 0, unroll=unroll)
@@ -589,6 +625,7 @@ def fused_enhance_full(
         delta_s=mc.delta_s, p_min=mc.p_min, p_max=mc.p_max,
         alpha_v=mv.alpha_v, diag=mv.diag, rel_diag=mv.rel_diag, p_vad=mv.p_vad,
         vad_guard=getattr(mv, "vad_guard", False), inv_mode=inv_mode,
+        warm_chunks=max(1, -(-_RANK1_WARM_FRAMES // tc)),
     )
     kern_kwargs.update(alpha_xi=cfg.alpha_xi, gmin=cfg.gmin)
     if inv_mode not in ("ldl", "rank1"):
@@ -611,7 +648,7 @@ def fused_enhance_full(
         pltpu.VMEM((M, M, sub, fl), jnp.float32),
         pltpu.VMEM((M, sub, fl), jnp.float32),
         pltpu.VMEM((M, sub, fl), jnp.float32),
-    ] + [pltpu.VMEM((sub, fl), jnp.float32)] * 7
+    ] + [pltpu.VMEM((sub, fl), jnp.float32)] * 8
 
     # batch blocks are independent -> the n grid axis is 'parallel': on
     # megacore chips Mosaic splits it across the two TensorCores (the t axis
@@ -673,7 +710,7 @@ def _run_nyquist(zn4, a_nyq_r, a_nyq_i, kern_kwargs, tc, Tp, nb, fl, M, interpre
         pltpu.VMEM((M, M, _SUB, fl), jnp.float32),
         pltpu.VMEM((M, _SUB, fl), jnp.float32),
         pltpu.VMEM((M, _SUB, fl), jnp.float32),
-    ] + [pltpu.VMEM((_SUB, fl), jnp.float32)] * 7
+    ] + [pltpu.VMEM((_SUB, fl), jnp.float32)] * 8
     sf_dummy = jnp.zeros((Tp, 1, _SUB, fl), jnp.float32)
     ynr, _ = pl.pallas_call(
         partial(_nyq_kernel, **kern_kwargs),

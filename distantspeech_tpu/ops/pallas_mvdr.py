@@ -198,9 +198,54 @@ def _ldl_factor_into(Rr, Ri, M, diag, rel_diag=0.0):
         for j in range(i):
             Rr[i, j] = Lr[i][j]
             Ri[i, j] = Li[i][j]
+    return load
 
 
-def _mvdr_update_rank1(zr, zi, upd, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v):
+def _refresh_loading(Rr, Ri, Ld, M, diag, rel_diag):
+    """Re-anchor the rank-1 path's frozen loading, in place (chunk starts).
+
+    The Bennett recursion tracks A = Rvv + baked I where ``baked`` (held in
+    the Ld scratch plane) decays by alpha per gated update, while the
+    reference recomputes load = diag + rel_diag tr(Rvv)/M fresh every
+    frame.  For rel_diag > 0 the rel part DOMINATES (load ~ 1e-3 vs diag
+    1e-6 at speech powers) and tr(Rvv) keeps growing for thousands of
+    frames (alpha_v memory), so freezing it after warmup leaves a
+    deviation ~rel_diag * d tr that reaches percent level on sparsely
+    updated lanes (measured 2.8e-2 on-device on the benched guarded
+    config).  This reconstructs Rvv = L D L^H - baked I from the factors
+    (exactly PSD up to f32 roundoff ~eps ||A||, safely below the rel-part
+    loading floor rel_diag ||A||/M ~ 20x eps ||A||), refactors with fresh
+    loading via ``_ldl_factor_into``, and records the new baked value —
+    bounding the staleness to one frame chunk (~0.4 s).  O(M^3/3) once per
+    chunk, amortised to ~2% of a frame.  Only called when rel_diag > 0:
+    with pure diag loading the decay is load (1 - alpha^n) ~ 1e-7 absolute
+    and the refresh would risk eps ||A|| roundoff against a 1e-6 floor."""
+    baked = Ld[...]
+    # reconstruct the lower triangle of Rvv = L D L^H - baked I (L unit
+    # lower from Rr/Ri off-diagonals, D from the diagonal slots)
+    Rv = [[None] * M for _ in range(M)]
+    Iv = [[None] * M for _ in range(M)]
+    for i in range(M):
+        acc = Rr[i, i]  # k == i term: D[i] |L[i][i]|^2 = D[i]
+        for k in range(i):
+            acc = acc + (Rr[i, k] * Rr[i, k] + Ri[i, k] * Ri[i, k]) * Rr[k, k]
+        Rv[i][i] = acc - baked
+        for j in range(i):
+            # sum_{k<=j} L[i][k] D[k] conj(L[j][k]); k == j term: L[i][j] D[j]
+            sr, si = Rr[i, j] * Rr[j, j], Ri[i, j] * Rr[j, j]
+            for k in range(j):
+                tr, ti = _cmul(Rr[i, k], Ri[i, k], Rr[j, k], -Ri[j, k])
+                sr, si = sr + tr * Rr[k, k], si + ti * Rr[k, k]
+            Rv[i][j], Iv[i][j] = sr, si
+    for i in range(M):
+        Rr[i, i] = Rv[i][i]
+        for j in range(i):
+            Rr[i, j] = Rv[i][j]
+            Ri[i, j] = Iv[i][j]
+    Ld[...] = _ldl_factor_into(Rr, Ri, M, diag, rel_diag)
+
+
+def _mvdr_update_rank1(zr, zi, upd, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v, Ld=None):
     """Gated Bennett rank-1 update of the LDL^H factors of
     A = Rvv + load I, plus the triangular solves for u = A^-1 a — the
     post-warmup fast path of ``inv_mode='rank1'``.
@@ -294,6 +339,8 @@ def _mvdr_update_rank1(zr, zi, upd, ar, ai, Rr, Ri, Ur, Ui, M, alpha_v):
         for j in range(i):
             Rr[i, j] = gated(Lr[i][j], Rr[i, j])
             Ri[i, j] = gated(Li[i][j], Ri[i, j])
+    if Ld is not None:  # baked-loading decay for _refresh_loading (rel_diag)
+        Ld[...] = gated(alpha_v * Ld[...], Ld[...])
 
 
 def _mvdr_kernel(
