@@ -92,7 +92,9 @@ def main():
     def fused_gate(cfgx):
         @jax.jit
         def f(x2):
-            y = fused_enhance_full(jnp.tile(x2, (16, 1, 1)), steer, cfgx, mxu="bf16x3", sub=32)
+            y = fused_enhance_full(
+                jnp.tile(x2, (16, 1, 1)), steer, cfgx, mxu="bf16x3", sub=32, inv_mode="rank1"
+            )
             return y[:2]
         return f
 
@@ -120,8 +122,12 @@ def main():
         # inverse DFT and overlap-add in ONE Pallas call (+ the tiny Nyquist
         # companion), analysis/synthesis dots in 3-pass bf16 (~1e-5 rel —
         # the parity gate above bounds the end-to-end error at 1e-3);
-        # 32 batch rows per vreg tile (4 vregs/op amortise instruction issue)
-        return fused_enhance_full(x, steer, cfg, mxu="bf16x3", sub=32)
+        # 32 batch rows per vreg tile (4 vregs/op amortise instruction issue);
+        # MVDR inverse via Bennett rank-1 LDL factor updates after a 64-frame
+        # exact-LDL warmup (inv_mode='rank1': ~1.35x fewer VPU ops per steady
+        # frame; the r5 lever on the VPU instruction-issue roofline) — the
+        # gates above compare THIS code path against the reference-exact scan
+        return fused_enhance_full(x, steer, cfg, mxu="bf16x3", sub=32, inv_mode="rank1")
 
     x = jnp.asarray(rng.standard_normal((batch, n_mics, S)).astype(np.float32))
 
