@@ -178,7 +178,10 @@ def main():
                 lambda x: enhance_process(x, geom8, (90.0, 0.0), backend="fused"), mk_x(8),
             )
             cases["enhance_mega_8mic"] = (
-                lambda x: enhance_process(x, geom8, (90.0, 0.0), backend="mega"), mk_x(8),
+                # bench.py's exact operating point: mega kernel + Bennett
+                # rank-1 factor updates (inv_mode='rank1', r5)
+                lambda x: enhance_process(x, geom8, (90.0, 0.0), backend="mega",
+                                          inv_mode="rank1"), mk_x(8),
             )
 
     if args.only:
@@ -254,7 +257,8 @@ def main():
             "enhance_mega_8mic": (
                 lambda x: enhance_process(x, geom8, (90.0, 0.0)),
                 lambda x: enhance_process(jnp.tile(x, (4, 1, 1)), geom8,
-                                          (90.0, 0.0), backend="mega")[:2],
+                                          (90.0, 0.0), backend="mega",
+                                          inv_mode="rank1")[:2],
                 8, 2e-2),
         }
         scan_cache = {}

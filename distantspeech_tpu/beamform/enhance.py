@@ -132,6 +132,7 @@ def enhance_process(
     look_angle_deg=(90.0, 0.0),
     cfg: EnhanceConfig = EnhanceConfig(),
     backend: str = "scan",
+    inv_mode: str = "ldl",
 ) -> jnp.ndarray:
     """Offline MVDR+OM-LSA of a time-domain batch.  x: [..., M, S] -> [..., S].
 
@@ -141,15 +142,22 @@ def enhance_process(
     needs [B, M, S] with B a multiple of 8 and n_fft a multiple of 256) or
     'mega' (the fastest path — the whole pipeline incl. analysis/synthesis
     in ONE Pallas call with bf16x3 DFT dots, ~1e-5 analysis error; same
-    shape restrictions as 'fused'; see ops.pallas_enhance)."""
+    shape restrictions as 'fused'; see ops.pallas_enhance).
+
+    inv_mode ('fused'/'mega' backends only): 'ldl' re-factors the loaded
+    noise covariance every frame (reference-exact semantics); 'rank1'
+    switches to Bennett rank-1 LDL factor updates after a 64-frame exact
+    warmup — ~7% faster end to end (the bench.py flagship path), exact up
+    to bounded loading decay / chunk-anchored rel_diag (see
+    ops.pallas_mvdr._mvdr_update_rank1 for the numerics contract)."""
     angle_rad = np.asarray(look_angle_deg, dtype=np.float64) / 180.0 * np.pi
     if backend in ("fused", "mega"):
         from distantspeech_tpu.ops.pallas_enhance import fused_enhance, fused_enhance_full
 
         steer_np = np.asarray(steering_vector(geometry, angle_rad, cfg.stft.n_fft), dtype=np.complex64)
         if backend == "mega":
-            return fused_enhance_full(x, steer_np, cfg, mxu="bf16x3")
-        return fused_enhance(x, steer_np, cfg)
+            return fused_enhance_full(x, steer_np, cfg, mxu="bf16x3", inv_mode=inv_mode)
+        return fused_enhance(x, steer_np, cfg, inv_mode=inv_mode)
     steer = jnp.asarray(steering_vector(geometry, angle_rad, cfg.stft.n_fft))
 
     X = analysis(x, cfg.stft)  # [..., M, T, F]

@@ -321,6 +321,7 @@ def make_sharded_enhance_mega(
     interpret: bool = None,
     mxu: str = "highest",
     sub: int = 8,
+    inv_mode: str = "ldl",
 ):
     """The bench-default mega kernel (``fused_enhance_full`` — the WHOLE
     pipeline in one Pallas call) over the mesh, batch-data-parallel.
@@ -344,7 +345,8 @@ def make_sharded_enhance_mega(
     batch_spec = P(axes, None, None)
 
     def _local(x_loc):
-        return fused_enhance_full(x_loc, steer, cfg, interpret=interpret, mxu=mxu, sub=sub)
+        return fused_enhance_full(x_loc, steer, cfg, interpret=interpret, mxu=mxu, sub=sub,
+                                  inv_mode=inv_mode)
 
     local = jax.shard_map(
         _local, mesh=mesh, in_specs=(batch_spec,), out_specs=P(axes, None),
